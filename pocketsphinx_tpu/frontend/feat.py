@@ -1,0 +1,169 @@
+"""Dynamic feature computation: MFCC -> (c, d, dd) feature streams + CMN/AGC.
+
+Re-design of src/feat/feat.c (feat_1s_c_d_dd_cep2feat :579,
+feat_s2mfc2feat_block_utt :1276) and src/feat/cmn.c / cmn_live.c as batched
+array ops.  The NumPy functions are the behavioral reference (used by parity
+tests); `compute_feats_jax` is the jitted batched device version.
+
+Feature definition for "1s_c_d_dd" (the en-us model type):
+    win = 3 (FEAT_DCEP_WIN + 1)
+    c (t)  = cep[t]
+    d (t)  = cep[t+2] - cep[t-2]
+    dd(t)  = (cep[t+3] - cep[t-1]) - (cep[t+1] - cep[t-3])
+with the utterance edge-padded by `win` copies of the first/last frame
+*after* CMN.  The en-us svspec 0-12/13-25/26-38 then splits the 39-dim
+vector into 3 streams of 13 — i.e. exactly (c, d, dd).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FEAT_DCEP_WIN = 2
+WIN = FEAT_DCEP_WIN + 1  # feat_window_size for 1s_c_d_dd
+
+
+# ---------------------------------------------------------------------------
+# CMN
+# ---------------------------------------------------------------------------
+
+def cmn_batch(cep: np.ndarray, varnorm: bool = False) -> np.ndarray:
+    """Batch CMN over one utterance (src/feat/cmn.c:166-233): mean over
+    frames whose c0 >= 0, subtracted from every frame (all dims)."""
+    keep = cep[:, 0] >= 0
+    n = int(keep.sum())
+    if n == 0:
+        return cep.copy()
+    mean = cep[keep].sum(axis=0) / np.float32(n)
+    out = cep - mean.astype(cep.dtype)
+    if varnorm:
+        var = np.square(out[keep]).sum(axis=0)
+        out = out * np.sqrt(n / var).astype(cep.dtype)
+    return out
+
+
+class CmnLive:
+    """Running-mean CMN (src/feat/cmn_live.c): mean updated across
+    utterances; ps_get_cmn/ps_set_cmn export/restore this state."""
+
+    CMN_WIN_HWM = 800
+    CMN_WIN = 500
+
+    def __init__(self, veclen: int = 13, init_mean: np.ndarray | None = None):
+        self.veclen = veclen
+        self.mean = np.zeros(veclen, dtype=np.float64)
+        if init_mean is not None:
+            self.mean[:len(init_mean)] = init_mean
+        else:
+            self.mean[0] = 40.0  # historical default for c0 (cmn_live.c init)
+        self.sum = self.mean * self.CMN_WIN
+        self.nframe = self.CMN_WIN
+
+    def __call__(self, cep: np.ndarray) -> np.ndarray:
+        out = (cep - self.mean.astype(cep.dtype))
+        self.sum += cep.sum(axis=0, dtype=np.float64)
+        self.nframe += len(cep)
+        if self.nframe > self.CMN_WIN_HWM:
+            self.update()
+        return out
+
+    def update(self):
+        """cmn_live_update: shrink the window, recompute mean."""
+        if self.nframe <= 0:
+            return
+        self.mean = self.sum / self.nframe
+        if self.nframe >= self.CMN_WIN_HWM:
+            sf = self.CMN_WIN / self.nframe
+            self.sum = self.sum * sf
+            self.nframe = self.CMN_WIN
+
+    def repr_string(self) -> str:
+        return ",".join(f"{v:.2f}" for v in self.mean)
+
+    def set_repr(self, s: str):
+        vals = [float(x) for x in s.split(",") if x]
+        self.mean[:] = 0
+        self.mean[:len(vals)] = vals
+        self.sum = self.mean * self.CMN_WIN
+        self.nframe = self.CMN_WIN
+
+
+# ---------------------------------------------------------------------------
+# AGC (src/feat/agc.c) — operates on c0 (energy) only
+# ---------------------------------------------------------------------------
+
+def agc_max(cep: np.ndarray) -> np.ndarray:
+    """agc_max: subtract utterance max of c0 from c0."""
+    out = cep.copy()
+    out[:, 0] -= cep[:, 0].max()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Dynamic features
+# ---------------------------------------------------------------------------
+
+def compute_deltas(cep: np.ndarray) -> np.ndarray:
+    """[T, 13] (already CMN'd) -> [T, 3, 13] streams (c, d, dd) with
+    replicated edge padding, exactly as feat_s2mfc2feat_block_utt."""
+    T = cep.shape[0]
+    pad = np.concatenate([np.repeat(cep[:1], WIN, axis=0), cep,
+                          np.repeat(cep[-1:], WIN, axis=0)], axis=0)
+    # index i in padded array corresponds to output frame i - WIN
+    c = pad[WIN:WIN + T]
+    d = pad[WIN + 2:WIN + 2 + T] - pad[WIN - 2:WIN - 2 + T]
+    dd = ((pad[WIN + 3:WIN + 3 + T] - pad[WIN - 1:WIN - 1 + T])
+          - (pad[WIN + 1:WIN + 1 + T] - pad[WIN - 3:WIN - 3 + T]))
+    return np.stack([c, d, dd], axis=1)
+
+
+def compute_feats(cep: np.ndarray, cmn: str = "batch",
+                  cmn_state: CmnLive | None = None,
+                  agc: str = "none", varnorm: bool = False) -> np.ndarray:
+    """Full dynamic-feature pipeline [T,13] -> [T,3,13] float32."""
+    cep = np.asarray(cep, dtype=np.float32)
+    if cmn == "batch":
+        cep = cmn_batch(cep, varnorm)
+    elif cmn == "live":
+        cep = (cmn_state or CmnLive(cep.shape[1]))(cep)
+    if agc == "max":
+        cep = agc_max(cep)
+    return compute_deltas(cep)
+
+
+# ---------------------------------------------------------------------------
+# JAX batched version
+# ---------------------------------------------------------------------------
+
+def compute_feats_jax(cep, n_frames=None, cmn: str = "batch"):
+    """Batched jittable dynamic features.
+
+    cep: [B, T, 13] float32 (padded); n_frames: [B] int32 valid frame counts
+    (None = all T valid).  Returns [B, T, 3, 13]; frames >= n_frames hold
+    garbage from edge replication and must be masked downstream.
+    """
+    import jax.numpy as jnp
+
+    cep = jnp.asarray(cep)
+    B, T, C = cep.shape
+    if n_frames is None:
+        n_frames = jnp.full((B,), T, dtype=jnp.int32)
+    t_idx = jnp.arange(T)[None, :]
+    valid = t_idx < n_frames[:, None]                       # [B, T]
+    if cmn == "batch":
+        keep = valid & (cep[:, :, 0] >= 0)
+        n = jnp.maximum(keep.sum(axis=1), 1)
+        mean = (cep * keep[..., None]).sum(axis=1) / n[:, None].astype(cep.dtype)
+        cep = cep - mean[:, None, :]
+    # Replicated-edge gather: index clamp to [0, n_frames-1] implements the
+    # reference's first/last-frame padding for arbitrary per-utt lengths.
+    last = (n_frames - 1)[:, None]
+
+    def at(off):
+        idx = jnp.clip(t_idx + off, 0, last)
+        return jnp.take_along_axis(cep, idx[..., None], axis=1)
+
+    c = at(0)
+    d = at(2) - at(-2)
+    dd = (at(3) - at(-1)) - (at(1) - at(-3))
+    return jnp.stack([c, d, dd], axis=2)
