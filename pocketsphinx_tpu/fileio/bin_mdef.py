@@ -132,6 +132,37 @@ class BinMdef:
                             return p
         return b
 
+    def dense_pid_table(self) -> np.ndarray:
+        """Dense [N_WORD_POSN, n_ci, n_ci, n_ci] phone-id table
+        (wpos, base, lc, rc) -> pid or -1, built by one DFS over the
+        cd_tree — the vectorizable equivalent of bin_mdef_phone_id.
+        Contexts must be pre-mapped (fillers -> SIL) by the caller,
+        as phone_id does."""
+        if getattr(self, "_pid_table", None) is not None:
+            return self._pid_table
+        nc = self.n_ciphone
+        tbl = np.full((N_WORD_POSN, nc, nc, nc), -1, dtype=np.int32)
+        ctx = self.cd_ctx
+        ndown = self.cd_n_down
+        down = self.cd_down
+        # level order: wpos, base, lc, rc
+        stack = [(i, 0, ()) for i in range(min(N_WORD_POSN, len(ctx)))]
+        while stack:
+            i, level, path = stack.pop()
+            c = int(ctx[i])
+            nd = int(ndown[i])
+            if nd == 0:
+                # Leaf: fill the (possibly partial) context slice — the
+                # reference stops the walk at any leaf (bin_mdef.c:800-802).
+                coords = path + (c,)
+                tbl[coords] = int(down[i])
+                continue
+            base = int(down[i])
+            for j in range(base, base + nd):
+                stack.append((j, level + 1, path + (c,)))
+        self._pid_table = tbl
+        return tbl
+
     def _build_ci_maps(self):
         """cd2cisen / sen2cimap construction (src/bin_mdef.c:480-512)."""
         self.cd2cisen = np.full(self.n_sen, -1, dtype=np.int16)
