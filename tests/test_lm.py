@@ -1,0 +1,82 @@
+"""N-gram LM reader/scoring tests against the reference's fixed score
+anchors (test/unit/test_ngram/test_lm_score.c)."""
+
+import numpy as np
+import pytest
+
+from pocketsphinx_tpu.lm.ngram import read_lm, read_arpa, read_trie_bin
+
+from conftest import REFERENCE, DATADIR
+
+LMDIR = REFERENCE / "test" / "unit" / "test_ngram"
+
+
+@pytest.fixture(scope="module")
+def lm100():
+    if not (LMDIR / "100.lm.bin").exists():
+        pytest.skip("reference LM fixtures missing")
+    return read_trie_bin(str(LMDIR / "100.lm.bin"))
+
+
+def test_trie_bin_scores(lm100):
+    """Anchors from test_lm_score.c:27-43 (logmath base 1.0001)."""
+    m = lm100
+    d, h, da = m.wid("daines"), m.wid("huggins"), m.wid("david")
+    assert d >= 0 and h >= 0 and da >= 0
+    # trigram P(daines | david huggins) ~= -9452
+    assert abs(m.raw_score(d, [da, h]) - -9452) < 15
+    # bigram P(huggins | david) ~= -831
+    assert abs(m.raw_score(h, [da]) - -831) < 5
+    # weighted: -9452 * 7.5 + log(0.5) ~= -77821
+    m.apply_weights(7.5, 0.5)
+    assert abs(m.score(d, [da, h]) - -77821) < 40
+    m.apply_weights(1.0, 1.0)
+    assert abs(m.score(d, [da, h]) - -9452) < 15
+
+
+def test_arpa_matches_trie(lm100):
+    for name in ("100.lm.gz", "100.lm.bz2"):
+        a = read_lm(str(LMDIR / name))
+        assert a.counts == lm100.counts
+        assert a.words == lm100.words
+        for lvl in range(3):
+            # same multiset of probabilities to quantization error
+            assert np.abs(np.sort(a.lv_prob[lvl])
+                          - np.sort(lm100.lv_prob[lvl])).max() < 0.5
+
+
+def test_successor_rows(lm100):
+    m = lm100
+    da, h = m.wid("david"), m.wid("huggins")
+    for hist in [(), (da,), (da, h)]:
+        row = m.successor_row(hist)
+        assert row.shape == (m.counts[0],)
+        for w in range(0, m.counts[0], 53):
+            assert abs(row[w] - m.raw_score(w, list(hist))) < 1e-3
+
+
+def test_turtle_bin():
+    t = read_lm(str(DATADIR / "turtle.lm.bin"), lw=6.5, wip=0.65)
+    assert t.order == 3
+    assert t.counts[0] == 91
+    go, fwd = t.wid("go"), t.wid("forward")
+    assert go >= 0 and fwd >= 0
+    # P(forward|go) should be a strong bigram
+    assert t.raw_score(fwd, [go]) > t.raw_score(fwd, [])
+
+
+def test_malformed_lm_files():
+    # deliberately-broken fixtures must raise, not crash
+    for name in ("too-many-ngrams.arpa", "not-enough-ngrams.arpa"):
+        p = DATADIR / name
+        if p.exists():
+            try:
+                read_arpa(str(p))
+            except (ValueError, KeyError, IndexError):
+                pass  # rejected cleanly
+
+
+def test_sentence_score(lm100):
+    total, n = lm100.sentence_score(["david", "huggins", "daines"])
+    assert n == 4  # 3 words + </s>
+    assert total < 0
