@@ -1,0 +1,386 @@
+"""N-gram decoding: dense full-vocabulary flat Viterbi ("fwdflat" design).
+
+TPU-first reformulation of the reference n-gram searches
+(src/ngram_search_fwdtree.c / ngram_search_fwdflat.c): instead of a
+pointer-chased lexicon tree with active lists and beam-prune loops, every
+dictionary word keeps a dense HMM chain on the device and *all* words are
+evaluated every frame (pruning by masking is unnecessary at these sizes;
+the dense update is the TPU idiom — SURVEY.md §2.2, §7 M5).  Exact
+language-model application at every word transition (like the reference's
+second pass, fwdflat, which rescoreswith full trigrams), not the
+fwdtree's deferred-LM approximation.
+
+Per frame (one lax.scan step):
+  1. dense HMM update over all word chains ([P, 3] states, emissions on
+     source states per src/hmm.c:222-350);
+  2. word exits per right-context class (the bestbp_rc / xwdssid design
+     of src/ngram_search.c:378-500 and src/dict2pid.c, kept dense as a
+     [W, n_class] slice of the exit vector);
+  3. word entries: a [W, W] max-plus product of exit scores with the
+     trigram successor table (gathered per exiting instance's carried
+     2-word history), silence/filler transitions with silpen/fillpen
+     (src/ngram_search.c:115-120);
+  4. dense per-frame records (exit score/start/history, entry argmax) —
+     the backpointer-table equivalent, consumed by the host backtrace.
+
+Carried state: scores S[P,3], word-entry frame STF[P,3], LM histories
+RW1/RW2[P,3] (most recent real word and its predecessor, matching the
+bptable's real_wid/prev_real_wid chain semantics).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..fileio.dictionary import Dictionary
+from ..models.dict2pid import Dict2Pid
+from ..models.acoustic import AcousticModel, UNIT_NATS
+from ..lm.ngram import NgramModel
+
+NEG_INF = -1e30
+SHIFT = 1 << 10
+
+
+@dataclass
+class Seg:
+    word: str
+    start: int
+    end: int            # inclusive frame
+    ascr: float = 0.0
+    lscr: float = 0.0
+
+
+class NgramFlatDecoder:
+    def __init__(self, am: AcousticModel, d2p: Dict2Pid, lm: NgramModel,
+                 silprob: float = 0.005, fillprob: float = 1e-8,
+                 pip: float = 1.0, nwpen: float = 1.0):
+        self.am = am
+        self.d2p = d2p
+        self.dict = d2p.dict
+        self.lm = lm
+        self.mdef = am.mdef
+        ln = lambda p: math.log(p) / UNIT_NATS  # shifted units
+        self.pip = ln(pip)
+        self.nwpen = ln(nwpen)
+        self.silpen = self.pip + ln(silprob)
+        self.fillpen = self.pip + ln(fillprob)
+        self._build()
+
+    # -- static structure ----------------------------------------------------
+
+    def _build(self):
+        d, mdef, d2p, lm = self.dict, self.mdef, self.d2p, self.lm
+        sil = mdef.sil
+        # Search words: dictionary words with an LM unigram (any alternate
+        # maps to its base's string) + filler words.  <s> is the start
+        # word; </s> the finish word.
+        words = []          # dict wids
+        lm_wid = []         # LM wid or -1 (fillers)
+        is_fill = []
+        for wid in range(len(d)):
+            base = d.basestr(wid)
+            lw = lm.wid(base)
+            if d.is_filler(wid) and wid not in (d.startwid, d.finishwid):
+                words.append(wid)
+                lm_wid.append(-1)
+                is_fill.append(True)
+            elif lw >= 0:
+                words.append(wid)
+                lm_wid.append(lw)
+                is_fill.append(False)
+        self.words = words
+        self.lm_wid = np.array(lm_wid, dtype=np.int32)
+        self.is_fill = np.array(is_fill, dtype=bool)
+        W = len(words)
+        self.W = W
+        self.widx = {w: i for i, w in enumerate(words)}
+        self.start_idx = None
+        self.finish_idx = None
+
+        # Build phone chains.  Left context of word-initial phones is
+        # approximated as SIL (see module docstring; the reference's mpx
+        # sharing is a different approximation of the same unknown).
+        senid_rows = []     # [P, 3]
+        tmat_rows = []
+        chain_pred = []     # intra-word predecessor or -1 (word entry node)
+        node_word = []      # word index
+        first_node = np.zeros(W, np.int32)
+        self.n_class = np.zeros(W, np.int32)
+        final_base = np.zeros(W, np.int32)
+        cls_map = np.zeros((W, mdef.n_ciphone), np.int16)
+        f0_arr = np.zeros(W, np.int32)
+
+        for i, wid in enumerate(words):
+            pron = [int(x) for x in d.pron(wid)]
+            L = len(pron)
+            f0_arr[i] = pron[0]
+            first_node[i] = len(senid_rows)
+            if d.is_filler(wid) or L == 1 and pron[0] == sil:
+                # fillers use CI phones (fsg/ngram treat fillers as CI)
+                for j, ci in enumerate(pron):
+                    senid_rows.append(mdef.sseq[mdef.phone_ssid[ci]])
+                    tmat_rows.append(mdef.phone_tmat[ci])
+                    chain_pred.append(len(senid_rows) - 2 if j else -1)
+                    node_word.append(i)
+                final_base[i] = len(senid_rows) - 1
+                self.n_class[i] = 1
+                cls_map[i, :] = 0
+                continue
+            if L == 1:
+                # single-phone word: lrdiph with lc=SIL, rc classes
+                uniq_ssids, inv = np.unique(
+                    d2p.lrdiph_rc[pron[0], sil], return_inverse=True)
+                for c, ssid in enumerate(uniq_ssids):
+                    senid_rows.append(mdef.sseq[ssid])
+                    tmat_rows.append(mdef.phone_tmat[pron[0]])
+                    chain_pred.append(-1)
+                    node_word.append(i)
+                final_base[i] = first_node[i]
+                self.n_class[i] = len(uniq_ssids)
+                cls_map[i, :] = inv
+                continue
+            # first phone (lc = SIL approx)
+            ssid0 = int(d2p.ldiph_lc[pron[0], pron[1], sil])
+            senid_rows.append(mdef.sseq[ssid0])
+            tmat_rows.append(mdef.phone_tmat[pron[0]])
+            chain_pred.append(-1)
+            node_word.append(i)
+            # internal
+            internal = d2p.internal_ssids(wid)
+            for j in range(1, L - 1):
+                senid_rows.append(mdef.sseq[int(internal[j - 1])])
+                tmat_rows.append(mdef.phone_tmat[pron[j]])
+                chain_pred.append(len(senid_rows) - 2)
+                node_word.append(i)
+            # final phone: rc classes
+            uniq, cimap = d2p.rssid(pron[-1], pron[-2])
+            pre = len(senid_rows) - 1
+            final_base[i] = len(senid_rows)
+            for ssid in uniq:
+                senid_rows.append(mdef.sseq[int(ssid)])
+                tmat_rows.append(mdef.phone_tmat[pron[-1]])
+                chain_pred.append(pre)
+                node_word.append(i)
+            self.n_class[i] = len(uniq)
+            cls_map[i, :] = cimap
+
+        P = len(senid_rows)
+        self.P = P
+        self.senid = np.asarray(senid_rows, dtype=np.int32)
+        tmatid = np.asarray(tmat_rows, dtype=np.int32)
+        tpc = self.am.tmat.tp[tmatid].astype(np.float32)
+        self.tp = np.where(tpc == 255, NEG_INF, -tpc)
+        self.chain_pred = np.asarray(chain_pred, dtype=np.int32)
+        self.node_word = np.asarray(node_word, dtype=np.int32)
+        self.first_node = first_node
+        self.final_base = final_base
+        # exit node for (word i, entering word k): final_base[i] +
+        # cls_map[i, f0(k)] mapped through the word's class set
+        self.exit_node = (final_base[:, None]
+                          + cls_map[np.arange(W)[:, None],
+                                    f0_arr[None, :]].astype(np.int32))
+        # any-class exit (for final hyp / lattice): the SIL class
+        sil_cls = cls_map[np.arange(W), sil]
+        self.exit_node_sil = final_base + sil_cls.astype(np.int32)
+
+        if d.startwid in self.widx:
+            self.start_idx = self.widx[d.startwid]
+        if d.finishwid in self.widx:
+            self.finish_idx = self.widx[d.finishwid]
+
+        # LM tables: successor matrix per (h1, h2) is too big in general;
+        # build the bigram matrix [V, W] and trigram overlay on the fly
+        # per decode (host) — for small vocabularies build the full cube.
+        V = lm.counts[0]
+        self.V = V
+        # map decoder word -> lm wid for successor lookup columns
+        self.col_lm = np.where(self.lm_wid >= 0, self.lm_wid, 0)
+
+    def _lm_cube(self) -> np.ndarray:
+        """[V+1, V, W] weighted successor scores: [h2, h1, w]; h2 == V
+        means "no second history" (bigram row)."""
+        if getattr(self, "_cube", None) is not None:
+            return self._cube
+        lm, V, W = self.lm, self.V, self.W
+        cube = np.zeros((V + 1, V, W), dtype=np.float32)
+        for h1 in range(V):
+            row = lm.successor_row((h1,))[self.col_lm]
+            cube[V, h1] = row
+            for h2 in range(V):
+                cube[h2, h1] = lm.successor_row((h2, h1))[self.col_lm]
+        # shifted units
+        cube = cube / SHIFT
+        cube[:, :, self.is_fill] = 0.0
+        self._cube = cube
+        return self._cube
+
+    # -- decode --------------------------------------------------------------
+
+    def decode(self, feats: np.ndarray, costs: np.ndarray | None = None):
+        """feats [T, F, L] -> (hyp string, list of Seg)."""
+        import jax
+        import jax.numpy as jnp
+        from ..models.acoustic import senone_scores_jax
+
+        if costs is None:
+            costs = senone_scores_jax(
+                self.am.scoring_arrays, self.am.cb_groups,
+                np.asarray(feats)[None].astype(np.float32))[0]
+        costs = jnp.asarray(costs)
+        T = costs.shape[0]
+        P, W, V = self.P, self.W, self.V
+
+        sen = -costs[:, self.senid.reshape(-1)].reshape(T, P, 3)
+        tp = jnp.asarray(self.tp)
+        chain_pred = jnp.asarray(np.maximum(self.chain_pred, 0))
+        has_pred = jnp.asarray(self.chain_pred >= 0)
+        # word-entry nodes (chain_pred == -1): word index per entry node
+        entry_nodes = np.nonzero(self.chain_pred < 0)[0]
+        entry_words = self.node_word[entry_nodes]
+        entry_nodes_j = jnp.asarray(entry_nodes)
+        entry_words_j = jnp.asarray(entry_words)
+        exit_node = jnp.asarray(self.exit_node)        # [W, W]
+        exit_node_sil = jnp.asarray(self.exit_node_sil)
+        lm_cube = jnp.asarray(self._lm_cube())         # [V+1, V, W]
+        is_fill = jnp.asarray(self.is_fill)
+        lm_wid = jnp.asarray(np.where(self.lm_wid >= 0, self.lm_wid, 0))
+        is_real = jnp.asarray(~self.is_fill)
+        fillpen_w = jnp.where(
+            jnp.asarray([self.words[i] == self.dict.silwid
+                         for i in range(W)]),
+            self.silpen, self.fillpen)
+
+        def step(carry, xs):
+            S, STF, RW1, RW2, PRW = carry
+            sen_t, t = xs
+            s = S + sen_t                                 # [P,3]
+            # exit (non-emitting)
+            cand_out = jnp.stack([s[:, 1] + tp[:, 1, 3],
+                                  s[:, 2] + tp[:, 2, 3]], axis=-1)
+            oc = jnp.argmax(cand_out, axis=-1)
+            out = jnp.max(cand_out, axis=-1)              # [P]
+
+            def out_meta(M):
+                return jnp.take_along_axis(M[:, 1:3], oc[:, None],
+                                           axis=1)[:, 0]
+            out_stf = out_meta(STF)
+            out_rw1 = out_meta(RW1)
+            out_rw2 = out_meta(RW2)
+            out_prw = out_meta(PRW)
+            # in-phone state updates (tie rules per hmm.c)
+            c2 = jnp.stack([s[:, 1] + tp[:, 1, 2], s[:, 2] + tp[:, 2, 2],
+                            s[:, 0] + tp[:, 0, 2]], axis=-1)
+            a2 = jnp.argmax(c2, axis=-1)
+            n2 = jnp.max(c2, axis=-1)
+            src2 = jnp.array([1, 2, 0])[a2]
+            c1 = jnp.stack([s[:, 0] + tp[:, 0, 1],
+                            s[:, 1] + tp[:, 1, 1]], axis=-1)
+            a1 = jnp.argmax(c1, axis=-1)
+            n1 = jnp.max(c1, axis=-1)
+            src1 = jnp.array([0, 1])[a1]
+            n0 = s[:, 0] + tp[:, 0, 0]
+            newS = jnp.stack([n0, n1, n2], axis=-1)
+
+            def gather_meta(M):
+                m0 = M[:, 0]
+                m1 = jnp.take_along_axis(M, src1[:, None], axis=1)[:, 0]
+                m2 = jnp.take_along_axis(M, src2[:, None], axis=1)[:, 0]
+                return jnp.stack([m0, m1, m2], axis=-1)
+            newSTF = gather_meta(STF)
+            newRW1 = gather_meta(RW1)
+            newRW2 = gather_meta(RW2)
+            newPRW = gather_meta(PRW)
+            # intra-word chain entry (from predecessor phone's exit)
+            chain_entry = jnp.where(has_pred, out[chain_pred] + self.pip,
+                                    NEG_INF)
+            ch_win = chain_entry > newS[:, 0]
+
+            def chw(new, old):
+                return jnp.where(ch_win, new, old[:, 0])
+            newS = newS.at[:, 0].set(chw(chain_entry, newS))
+            newSTF = newSTF.at[:, 0].set(chw(out_stf[chain_pred], newSTF))
+            newRW1 = newRW1.at[:, 0].set(chw(out_rw1[chain_pred], newRW1))
+            newRW2 = newRW2.at[:, 0].set(chw(out_rw2[chain_pred], newRW2))
+            newPRW = newPRW.at[:, 0].set(chw(out_prw[chain_pred], newPRW))
+
+            # word exits
+            exg = out[exit_node]                          # [W(exit), W(next)]
+            eh1 = out_rw1[exit_node_sil]                  # [W]
+            eh2 = out_rw2[exit_node_sil]
+            estf = out_stf[exit_node_sil]
+            eprw = out_prw[exit_node_sil]
+            escore = out[exit_node_sil]
+            lmrow = lm_cube[eh2, eh1]                     # [W, W]
+            trans_real = exg + lmrow + (self.nwpen + self.pip)
+            trans_fill = exg + fillpen_w[None, :]
+            trans = jnp.where(is_fill[None, :], trans_fill, trans_real)
+            ent_src = jnp.argmax(trans, axis=0)           # [W]
+            entry = jnp.max(trans, axis=0)
+            src_rw1 = eh1[ent_src]
+            src_rw2 = eh2[ent_src]
+            new_rw1 = jnp.where(is_real, lm_wid, src_rw1)
+            new_rw2 = jnp.where(is_real, src_rw1, src_rw2)
+            # apply entries at every entry node of each word
+            en, ew = entry_nodes_j, entry_words_j
+            cur0 = newS[en, 0]
+            e_here = entry[ew]
+            ewin_nodes = e_here > cur0
+
+            def apply(Mnew, vals):
+                return Mnew.at[en, 0].set(
+                    jnp.where(ewin_nodes, vals, Mnew[en, 0]))
+            newS = apply(newS, e_here)
+            newSTF = apply(newSTF, t + 1)
+            newRW1 = apply(newRW1, new_rw1[ew])
+            newRW2 = apply(newRW2, new_rw2[ew])
+            newPRW = apply(newPRW, ent_src[ew])
+            m = jnp.max(newS)
+            newS = newS - m
+            rec = (escore, estf, eprw)
+            return (newS, newSTF, newRW1, newRW2, newPRW), rec
+
+        S0 = np.full((P, 3), NEG_INF, np.float32)
+        STF0 = np.zeros((P, 3), np.int32)
+        RW10 = np.zeros((P, 3), np.int32)
+        RW20 = np.full((P, 3), V, np.int32)   # V = "no history"
+        PRW0 = np.full((P, 3), -1, np.int32)
+        if self.start_idx is not None:
+            s_lm = self.lm.wid("<s>")
+            S0[self.first_node[self.start_idx], 0] = 0.0
+            RW10[self.first_node[self.start_idx], 0] = max(s_lm, 0)
+        carry0 = (jnp.asarray(S0), jnp.asarray(STF0), jnp.asarray(RW10),
+                  jnp.asarray(RW20), jnp.asarray(PRW0))
+        _, recs = jax.lax.scan(step, carry0,
+                               (sen, jnp.arange(T, dtype=jnp.int32)))
+        return self._backtrace(recs, T)
+
+    def _backtrace(self, recs, T):
+        escore, estf, eprw = [np.asarray(r) for r in recs]
+        last = escore[T - 1]
+        if (self.finish_idx is not None
+                and last[self.finish_idx] > NEG_INF / 2):
+            w = self.finish_idx
+        else:
+            w = int(np.argmax(last))
+        segs = []
+        t = T - 1
+        while t >= 0 and w >= 0:
+            s = int(estf[t, w])
+            segs.append(Seg(word=self.dict.wordstr(self.words[w]),
+                            start=s, end=t))
+            p = int(eprw[t, w])
+            if s <= 0 or p < 0:
+                break
+            w = p
+            t = s - 1
+        segs.reverse()
+        out = []
+        for s in segs:
+            wid = self.dict.wordid(s.word)
+            if wid < 0 or self.dict.is_filler(wid):
+                continue
+            out.append(self.dict.basestr(wid))
+        return " ".join(out), segs
