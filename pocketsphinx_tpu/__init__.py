@@ -9,3 +9,27 @@ over TPU device meshes.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: TPU first-compiles are tens of
+    seconds; caching makes repeated CLI invocations fast.  Opt out with
+    PS_TPU_NO_CACHE=1."""
+    if _os.environ.get("PS_TPU_NO_CACHE"):
+        return
+    try:
+        import jax
+        cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "pocketsphinx-tpu-jax"))
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()

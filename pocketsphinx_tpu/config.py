@@ -127,6 +127,10 @@ PARAMS: dict[str, tuple] = {
     "lda": (str, None, "File containing transformation matrix to be applied to features (single-stream features only)"),
     "ldadim": (int, 0, "Dimensionality of output of feature transformation (0 to use entire matrix)"),
     "svspec": (str, None, "Subvector specification (e.g., 24,0-11/25,12-23/26-38 or 0-12/13-25/26-38)"),
+    # CLI-only options (programs/pocketsphinx_main.c)
+    "phone_align": (bool, False, "Report phone alignments in results"),
+    "state_align": (bool, False, "Report state alignments in results"),
+    "config_file": (str, None, "File containing JSON configuration"),
 }
 
 _BOOL_TRUE = {"yes", "true", "t", "1", "y", "on"}
@@ -262,6 +266,8 @@ class Config:
             fp = self["featparams"]
             if fp and os.path.isfile(fp):
                 for k, v in parse_args_file(fp):
+                    if k not in PARAMS:
+                        continue  # tolerate extra feat.params keys (-model)
                     self.set_default(k, v)
         # sendump takes precedence over mixw like the reference scorers
         return self

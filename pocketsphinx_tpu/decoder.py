@@ -1,0 +1,321 @@
+"""Decoder facade — the ps_decoder_t equivalent (src/pocketsphinx.c).
+
+One object owning config + acoustic model + dictionary + searches, with
+the utterance API (start_utt / process_raw / end_utt / hyp / seg) and
+search management (add_lm/add_fsg/add_jsgf/add_keyphrase/add_align_text,
+activate_search) modeled on include/pocketsphinx.h:498-1093 and
+include/pocketsphinx/search.h.
+
+The Python API mirrors the reference Cython binding's Decoder class
+(cython/_pocketsphinx.pyx) so users of the reference can switch over.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .config import Config
+from .fileio.dictionary import Dictionary
+from .frontend.mfcc import MelFrontend
+from .frontend.feat import compute_feats, CmnLive
+from .models.acoustic import AcousticModel
+from .models.dict2pid import Dict2Pid
+from .logmath import SENSCR_SHIFT, ln_to_logunits
+
+
+@dataclass
+class Hypothesis:
+    hypstr: str
+    score: int = 0
+    prob: float = 1.0
+    best_score: int = 0
+
+
+@dataclass
+class Segment:
+    word: str
+    start_frame: int
+    end_frame: int
+    ascore: float = 0.0
+    lscore: float = 0.0
+    prob: float = 1.0
+    frate: int = 100
+
+    @property
+    def start(self) -> float:
+        return self.start_frame / self.frate
+
+    @property
+    def duration(self) -> float:
+        return (self.end_frame - self.start_frame + 1) / self.frate
+
+
+class Decoder:
+    """TPU-native decoder with the reference's lifecycle API."""
+
+    def __init__(self, config: Config | None = None, **kwargs):
+        if config is None:
+            config = Config(**kwargs)
+        elif kwargs:
+            config.update(kwargs)
+        self.config = config
+        config.default_search_args()
+        config.expand_model_config()
+        mode = config.validate_search_mode()
+
+        hmm = config["hmm"]
+        if not hmm:
+            raise ValueError("No acoustic model directory (-hmm) given")
+        self.am = AcousticModel.load(
+            hmm, varfloor=config["varfloor"], mixwfloor=config["mixwfloor"],
+            tmatfloor=config["tmatfloor"],
+            sendump=config["sendump"] if config.is_user_set("sendump")
+            else None)
+        self.fe = MelFrontend.from_config(config)
+        self.dict = Dictionary(self.am.mdef, config["dict"],
+                               config["fdict"],
+                               dictcase=config["dictcase"])
+        self.d2p = Dict2Pid(self.am.mdef, self.dict)
+        self.cmn_state = CmnLive(config["ceplen"])
+        if config["cmninit"]:
+            try:
+                self.cmn_state.set_repr(config["cmninit"])
+            except ValueError:
+                pass
+
+        self._searches: dict[str, object] = {}
+        self._active: str | None = None
+        self._raw = []
+        self._hyp: Hypothesis | None = None
+        self._segs: list[Segment] = []
+        self._costs = None
+        self._feats = None
+
+        if mode == "lm":
+            self.add_lm("_default", config["lm"])
+            self.activate_search("_default")
+        elif mode == "fsg":
+            from .lm.fsg import FsgModel
+            self.add_fsg("_default", FsgModel.readfile(
+                config["fsg"], lw=config["lw"]))
+            self.activate_search("_default")
+        elif mode == "jsgf":
+            self.add_jsgf("_default", config["jsgf"], config["toprule"])
+            self.activate_search("_default")
+        elif mode == "keyphrase":
+            self.add_keyphrase("_default", config["keyphrase"])
+            self.activate_search("_default")
+        elif mode == "kws":
+            self.add_kws("_default", config["kws"])
+            self.activate_search("_default")
+        elif mode == "allphone":
+            self.add_allphone("_default", config["allphone"])
+            self.activate_search("_default")
+
+    # -- search management (include/pocketsphinx/search.h) -------------------
+
+    def add_lm(self, name: str, lm_or_path):
+        from .lm.ngram import read_lm, NgramModel
+        from .search.ngram_flat import NgramFlatDecoder
+        lm = lm_or_path
+        if isinstance(lm_or_path, str):
+            lm = read_lm(lm_or_path, lw=self.config["lw"],
+                         wip=self.config["wip"])
+        self._searches[name] = NgramFlatDecoder(
+            self.am, self.d2p, lm,
+            silprob=self.config["silprob"],
+            fillprob=self.config["fillprob"],
+            pip=self.config["pip"], nwpen=self.config["nwpen"])
+        return self._searches[name]
+
+    def add_fsg(self, name: str, fsg):
+        from .search.fsg import FsgDecoder
+        self._searches[name] = FsgDecoder(
+            self.am, self.d2p, fsg,
+            wip=self.config["wip"], pip=self.config["pip"],
+            silprob=self.config["silprob"],
+            fillprob=self.config["fillprob"],
+            use_filler=self.config["fsgusefiller"],
+            use_altpron=self.config["fsgusealtpron"])
+        return self._searches[name]
+
+    def add_jsgf(self, name: str, path: str, toprule: str | None = None):
+        from .lm.jsgf import Jsgf
+        fsg = Jsgf.parse_file(path).build_fsg(toprule,
+                                              lw=self.config["lw"])
+        return self.add_fsg(name, fsg)
+
+    def add_jsgf_string(self, name: str, text: str,
+                        toprule: str | None = None):
+        from .lm.jsgf import Jsgf
+        fsg = Jsgf(text).build_fsg(toprule, lw=self.config["lw"])
+        return self.add_fsg(name, fsg)
+
+    def add_keyphrase(self, name: str, keyphrase: str):
+        from .search.kws import KwsDecoder
+        self._searches[name] = KwsDecoder(
+            self.am, self.d2p, [(keyphrase,
+                                 self.config["kws_threshold"])],
+            plp=self.config["kws_plp"], delay=self.config["kws_delay"])
+        return self._searches[name]
+
+    def add_kws(self, name: str, path: str):
+        from .search.kws import KwsDecoder, parse_kws_file
+        self._searches[name] = KwsDecoder(
+            self.am, self.d2p, parse_kws_file(path,
+                                              self.config["kws_threshold"]),
+            plp=self.config["kws_plp"], delay=self.config["kws_delay"])
+        return self._searches[name]
+
+    def add_allphone(self, name: str, lm_path: str | None):
+        from .search.allphone import AllphoneDecoder
+        from .lm.ngram import read_lm
+        lm = read_lm(lm_path, lw=self.config["lw"],
+                     wip=self.config["wip"]) if lm_path else None
+        self._searches[name] = AllphoneDecoder(
+            self.am, lm, ci_only=self.config["allphone_ci"])
+        return self._searches[name]
+
+    def add_align_text(self, text: str, name: str = "_align"):
+        from .search.align import Aligner
+        words = text.split()
+        for w in words:
+            if self.dict.wordid(w) < 0:
+                raise KeyError(f"Unknown word {w!r}")
+        al = Aligner(self.am, self.d2p,
+                     silprob=self.config["silprob"],
+                     wip=self.config["wip"], lw=self.config["lw"])
+        al._align_words = words
+        self._searches[name] = al
+        self.activate_search(name)
+        return al
+
+    def activate_search(self, name: str):
+        if name not in self._searches:
+            raise KeyError(f"No search named {name!r}")
+        self._active = name
+
+    def current_search_name(self) -> str | None:
+        return self._active
+
+    def remove_search(self, name: str):
+        del self._searches[name]
+        if self._active == name:
+            self._active = None
+
+    # -- word management -----------------------------------------------------
+
+    def add_word(self, word: str, phones: str, update: bool = True):
+        """ps_add_word: register a pronunciation (phones as a string of
+        CI phone names)."""
+        pids = []
+        for ph in phones.split():
+            p = self.am.mdef.ciphone_id(ph)
+            if p < 0:
+                raise KeyError(f"Unknown phone {ph!r}")
+            pids.append(p)
+        wid = self.dict.add_word(word, pids)
+        if update:
+            # invalidate compiled searches that embed the dictionary
+            for name, s in list(self._searches.items()):
+                if hasattr(s, "_build"):
+                    s._build()
+        return wid
+
+    def lookup_word(self, word: str) -> str | None:
+        wid = self.dict.wordid(word)
+        if wid < 0:
+            return None
+        return " ".join(self.am.mdef.ciname[p] for p in self.dict.pron(wid))
+
+    # -- CMN state (ps_get_cmn / ps_set_cmn) ---------------------------------
+
+    def get_cmn(self) -> str:
+        return self.cmn_state.repr_string()
+
+    def set_cmn(self, repr_str: str):
+        self.cmn_state.set_repr(repr_str)
+
+    # -- utterance API -------------------------------------------------------
+
+    def start_utt(self):
+        self._raw = []
+        self._hyp = None
+        self._segs = []
+        self._costs = None
+        self._feats = None
+
+    def process_raw(self, data, no_search: bool = False,
+                    full_utt: bool = False):
+        pcm = np.frombuffer(data, dtype="<i2") if isinstance(
+            data, (bytes, bytearray)) else np.asarray(data, dtype=np.int16)
+        self._raw.append(pcm)
+        return len(pcm)
+
+    def end_utt(self):
+        if not self._raw:
+            return
+        pcm = np.concatenate(self._raw)
+        cep = self.fe.process(pcm)
+        cmn = self.config["cmn"]
+        if cmn == "live":
+            feats = compute_feats(cep, cmn="live", cmn_state=self.cmn_state)
+        else:
+            feats = compute_feats(cep, cmn=cmn)
+        self._feats = feats
+        self._decode(feats)
+
+    def decode_raw(self, data) -> Hypothesis | None:
+        self.start_utt()
+        self.process_raw(data, full_utt=True)
+        self.end_utt()
+        return self._hyp
+
+    def decode_senscr(self, costs: np.ndarray):
+        """Decode directly from a senone-score matrix [T, n_sen]
+        (the ps_decode_senscr test seam)."""
+        self.start_utt()
+        self._costs = np.asarray(costs, dtype=np.float32)
+        self._decode(None, costs=self._costs)
+
+    def _decode(self, feats, costs=None):
+        if self._active is None:
+            raise RuntimeError("No search module is selected, did you "
+                               "forget to specify a language model or "
+                               "grammar?")
+        search = self._searches[self._active]
+        from .search.align import Aligner
+        if isinstance(search, Aligner):
+            words, phones, states = search.align(feats,
+                                                 search._align_words)
+            self._segs = [Segment(w.text, w.start, w.start + w.duration - 1,
+                                  ascore=w.score, frate=self.fe.frate)
+                          for w in words]
+            self._align_result = (words, phones, states)
+            text = " ".join(w.text for w in words if w.text != "<sil>")
+            self._hyp = Hypothesis(hypstr=text)
+        elif hasattr(search, "decode"):
+            hyp, segs = search.decode(feats, costs=costs)
+            self._segs = [Segment(s.word, s.start, s.end,
+                                  frate=self.fe.frate) for s in segs]
+            self._hyp = Hypothesis(hypstr=hyp)
+        else:
+            raise TypeError(f"search {type(search)} not decodable")
+
+    # -- results -------------------------------------------------------------
+
+    def hyp(self) -> Hypothesis | None:
+        return self._hyp
+
+    def seg_iter(self):
+        return iter(self._segs)
+
+    def get_alignment(self):
+        return getattr(self, "_align_result", None)
+
+    @property
+    def n_frames(self) -> int:
+        return 0 if self._feats is None else len(self._feats)

@@ -1,0 +1,98 @@
+"""Decoder facade + CLI tests (mirror test_init.c, test_set_search.c,
+test_reinit.c and the CLI regression JSON shape)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from pocketsphinx_tpu.config import Config
+from pocketsphinx_tpu.decoder import Decoder
+from pocketsphinx_tpu.fileio.sound import read_audio
+
+from conftest import DATADIR, EN_US, require_model
+
+
+@pytest.fixture(scope="module")
+def pcm():
+    require_model()
+    return np.frombuffer((DATADIR / "goforward.raw").read_bytes(),
+                         dtype="<i2")
+
+
+def test_config_system():
+    c = Config(beam="1e-80", samprate="8000")
+    assert c["beam"] == 1e-80
+    assert c["samprate"] == 8000
+    assert c["-samprate"] == 8000       # dash alias
+    assert c["lw"] == 6.5               # default
+    with pytest.raises(KeyError):
+        c["no_such_param"]
+    with pytest.raises(ValueError):
+        Config(lm="x", jsgf="y").validate_search_mode()
+    # JSON round trip
+    js = c.serialize_json()
+    assert json.loads(js)["samprate"] == 8000
+
+
+def test_decoder_ngram_and_search_switching(pcm):
+    d = Decoder(hmm=str(EN_US), lm=str(DATADIR / "turtle.lm.bin"),
+                dict=str(DATADIR / "turtle.dic"))
+    assert d.decode_raw(pcm).hypstr == "go forward ten meters"
+    # switch to a JSGF search on the same decoder (ps_activate_search)
+    d.add_jsgf("grammar", str(DATADIR / "goforward.gram"), "move2")
+    d.activate_search("grammar")
+    assert d.current_search_name() == "grammar"
+    assert d.decode_raw(pcm).hypstr == "go forward ten meters"
+    # and back
+    d.activate_search("_default")
+    assert d.decode_raw(pcm).hypstr == "go forward ten meters"
+
+
+def test_decoder_word_api(pcm):
+    d = Decoder(hmm=str(EN_US), lm=str(DATADIR / "turtle.lm.bin"),
+                dict=str(DATADIR / "turtle.dic"))
+    assert d.lookup_word("forward") == "F AO R W ER T"  # sic, turtle.dic
+    assert d.lookup_word("nonexistent-word") is None
+    wid = d.add_word("frobnicate", "F R AA B N AH K EY T", update=False)
+    assert wid >= 0
+    assert d.lookup_word("frobnicate") == "F R AA B N AH K EY T"
+    # CMN export/restore (ps_get_cmn/ps_set_cmn)
+    s = d.get_cmn()
+    assert len(s.split(",")) == 13
+    d.set_cmn("40,3,-1")
+    assert d.get_cmn().startswith("40.00,3.00,-1.00")
+
+
+def test_no_search_mode_error(pcm):
+    d = Decoder(hmm=str(EN_US), dict=str(DATADIR / "turtle.dic"))
+    with pytest.raises(RuntimeError, match="No search module"):
+        d.decode_raw(pcm)
+
+
+def test_wav_reader():
+    wav = DATADIR / "librivox" / \
+        "sense_and_sensibility_01_austen_64kb-0880.wav"
+    if not wav.exists():
+        pytest.skip("librivox data missing")
+    pcm, rate = read_audio(str(wav))
+    assert rate == 16000
+    assert len(pcm) > 16000
+
+
+def test_cli_config_and_soxflags():
+    out = subprocess.run(
+        [sys.executable, "-m", "pocketsphinx_tpu.cli", "-samprate", "8000",
+         "soxflags"], capture_output=True, text=True, timeout=120)
+    assert out.stdout.strip() == "-r 8000 -c 1 -b 16 -e signed-integer -t raw -"
+    out = subprocess.run(
+        [sys.executable, "-m", "pocketsphinx_tpu.cli", "config"],
+        capture_output=True, text=True, timeout=120)
+    cfg = json.loads(out.stdout)
+    assert cfg["lw"] == 6.5
+    out = subprocess.run(
+        [sys.executable, "-m", "pocketsphinx_tpu.cli", "-badopt", "x",
+         "help"], capture_output=True, text=True, timeout=120)
+    assert out.returncode != 0
