@@ -302,8 +302,50 @@ class Decoder:
             self._segs = [Segment(s.word, s.start, s.end,
                                   frate=self.fe.frate) for s in segs]
             self._hyp = Hypothesis(hypstr=hyp)
+            self._lattice = None
+            if self.config["bestpath"] and hasattr(search, "records"):
+                self._run_bestpath(search)
         else:
             raise TypeError(f"search {type(search)} not decodable")
+
+    def _run_bestpath(self, search):
+        """Third pass: lattice + best-path rescoring + posteriors
+        (ngram_search_hyp -> ps_lattice_bestpath/posterior)."""
+        from .search.lattice import Lattice
+        try:
+            lat = Lattice.from_flat_records(search)
+        except Exception:
+            return
+        lm = getattr(search, "lm", None)
+        lwf = (self.config["bestpathlw"] / self.config["lw"]
+               if self.config["lw"] else 1.0)
+        hyp, segs, score = lat.bestpath(lm=lm, lwf=lwf)
+        if not hyp and not segs:
+            return
+        lat.posterior(ascale=self.config["ascale"])
+        self._lattice = lat
+        self._hyp = Hypothesis(hypstr=hyp, score=int(score))
+        self._segs = [
+            Segment(w, s, e, frate=self.fe.frate,
+                    prob=lat.link_posterior(w, s, e))
+            for (w, s, e) in segs]
+
+    def get_lattice(self):
+        return getattr(self, "_lattice", None)
+
+    def nbest(self, n: int = 10):
+        """ps_nbest: A* N-best hypotheses over the word lattice."""
+        lat = self.get_lattice()
+        if lat is None and self._active:
+            search = self._searches[self._active]
+            if hasattr(search, "records"):
+                from .search.lattice import Lattice
+                lat = Lattice.from_flat_records(search)
+                self._lattice = lat
+        if lat is None:
+            return []
+        lm = getattr(self._searches[self._active], "lm", None)
+        return lat.nbest(n, lm=lm)
 
     # -- results -------------------------------------------------------------
 

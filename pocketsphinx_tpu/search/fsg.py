@@ -79,6 +79,9 @@ class FsgDecoder:
         self.arcs = arcs
         A = len(arcs)
         self.A = A
+        # lattice-builder interface: per-"word" (arc) dict wid
+        self.words = [wid for _, wid in arcs]
+        self.start_idx = None
 
         senid_rows, tmat_rows, chain_pred, node_arc = [], [], [], []
         first_node = np.zeros(A, np.int32)
@@ -185,7 +188,7 @@ class FsgDecoder:
         final_reach = jnp.asarray(self.final_reach)
 
         def step(carry, xs):
-            S, STF, PRA = carry
+            S, STF, PRA, ENTV = carry
             sen_t, t = xs
             s = S + sen_t
             cand_out = jnp.stack([s[:, 1] + tp[:, 1, 3],
@@ -198,6 +201,7 @@ class FsgDecoder:
                                            axis=1)[:, 0]
             out_stf = out_meta(STF)
             out_pra = out_meta(PRA)
+            out_entv = out_meta(ENTV)
             c2 = jnp.stack([s[:, 1] + tp[:, 1, 2], s[:, 2] + tp[:, 2, 2],
                             s[:, 0] + tp[:, 0, 2]], axis=-1)
             a2 = jnp.argmax(c2, axis=-1)
@@ -217,6 +221,7 @@ class FsgDecoder:
                 return jnp.stack([Mx[:, 0], m1, m2], axis=-1)
             newSTF = gmeta(STF)
             newPRA = gmeta(PRA)
+            newENTV = gmeta(ENTV)
             chain_entry = jnp.where(has_pred, out[chain_pred] + self.pip,
                                     NEG_INF)
             ch_win = chain_entry > newS[:, 0]
@@ -226,11 +231,14 @@ class FsgDecoder:
                 jnp.where(ch_win, out_stf[chain_pred], newSTF[:, 0]))
             newPRA = newPRA.at[:, 0].set(
                 jnp.where(ch_win, out_pra[chain_pred], newPRA[:, 0]))
+            newENTV = newENTV.at[:, 0].set(
+                jnp.where(ch_win, out_entv[chain_pred], newENTV[:, 0]))
 
             exg = out[exit_node]                       # [A, A]
             escore = out[exit_node_sil]
             estf = out_stf[exit_node_sil]
             epra = out_pra[exit_node_sil]
+            eascr = escore - out_entv[exit_node_sil]
             trans = exg + M
             ent_src = jnp.argmax(trans, axis=0)
             entry = jnp.max(trans, axis=0)
@@ -242,26 +250,31 @@ class FsgDecoder:
                 jnp.where(ewin, t + 1, newSTF[en_j, 0]))
             newPRA = newPRA.at[en_j, 0].set(
                 jnp.where(ewin, ent_src[ea_j], newPRA[en_j, 0]))
+            newENTV = newENTV.at[en_j, 0].set(
+                jnp.where(ewin, e_here, newENTV[en_j, 0]))
             m = jnp.max(newS)
             newS = newS - m
+            newENTV = newENTV - m
             final_score = jnp.max(escore + final_reach)
-            return (newS, newSTF, newPRA), (escore, estf, epra,
-                                            final_score)
+            return (newS, newSTF, newPRA, newENTV), (escore, estf, epra,
+                                                     eascr, final_score)
 
         S0 = np.full((self.P, 3), NEG_INF, np.float32)
         STF0 = np.zeros((self.P, 3), np.int32)
         PRA0 = np.full((self.P, 3), -1, np.int32)
+        ENTV0 = np.zeros((self.P, 3), np.float32)
         for k, node in enumerate(entry_nodes):
             a = entry_arcs[k]
             if np.isfinite(self.start_entry[a]):
                 S0[node, 0] = self.start_entry[a]
         _, recs = jax.lax.scan(step, (jnp.asarray(S0), jnp.asarray(STF0),
-                                      jnp.asarray(PRA0)),
+                                      jnp.asarray(PRA0), jnp.asarray(ENTV0)),
                                (sen, jnp.arange(T, dtype=jnp.int32)))
-        return self._backtrace(recs, T)
+        self.records = tuple(np.asarray(r) for r in recs)
+        return self._backtrace(self.records, T)
 
     def _backtrace(self, recs, T):
-        escore, estf, epra, _ = [np.asarray(r) for r in recs]
+        escore, estf, epra = [np.asarray(r) for r in recs[:3]]
         # best arc whose exit reaches the final state at the last frame
         reach = escore[T - 1] + self.final_reach
         a = int(np.argmax(reach))

@@ -1,0 +1,349 @@
+"""Word lattices: DAG construction, best-path rescoring, posteriors,
+A* N-best (src/ps_lattice.c re-design).
+
+The lattice is built from the flat decoder's dense per-frame records
+(the backpointer-table equivalent): every plausible word exit (t, w)
+becomes a node keyed (word, start frame); links connect nodes whose
+spans abut, carrying the pred-independent segment acoustic score that
+the decoder's ENTV channel makes exact.  On this DAG:
+
+  * bestpath:  forward link DP with LM rescoring at bestpathlw/lw ratio
+               (ps_lattice_bestpath, src/ps_lattice.c:1216-1440)
+  * posterior: forward-backward alpha/beta over links with 1/ascale
+               acoustic scaling (ps_lattice_posterior :1448-1524)
+  * nbest:     A* over links with best-remaining-score heuristic
+               (ps_astar_* :1714-1850)
+  * write_htk: HTK SLF output (ps_lattice_write_htk :271)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+SHIFT = 1 << 10
+NEG_INF = -1e30
+LN_BASE_SHIFTED = math.log(1.0001) * SHIFT  # nats per shifted unit
+
+
+@dataclass
+class LatNode:
+    word: str           # word string (with alt suffix)
+    base: str           # base word (for LM)
+    sf: int             # start frame
+    is_fill: bool
+    id: int = -1
+    entries: list = field(default_factory=list)   # incoming link ids
+    exits: list = field(default_factory=list)     # outgoing link ids
+
+
+@dataclass
+class LatLink:
+    src: int            # node id
+    dst: int
+    ef: int             # end frame of src's word (dst.sf - 1)
+    ascr: float         # segment acoustic score (shifted units)
+    lscr: float = 0.0   # LM score filled by bestpath
+    alpha: float = NEG_INF
+    beta: float = NEG_INF
+    post: float = NEG_INF
+
+
+class Lattice:
+    def __init__(self, frate: int = 100):
+        self.nodes: list[LatNode] = []
+        self.links: list[LatLink] = []
+        self.start: int = -1
+        self.end: int = -1
+        self.frate = frate
+        self.n_frames = 0
+        self.norm = NEG_INF
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_flat_records(cls, dec, beam: float = 1e-5) -> "Lattice":
+        """Build from an NgramFlatDecoder/FsgDecoder after decode():
+        records = (escore, estf, eprw, eascr, ...)."""
+        escore, estf, eprw, eascr = (np.asarray(r)
+                                     for r in dec.records[:4])
+        T, W = escore.shape
+        lat = cls()
+        lat.n_frames = T
+        thresh = math.log(beam) / LN_BASE_SHIFTED  # shifted units (<0)
+        d = dec.dict
+        words = dec.words
+        # plausible exits: valid and within `thresh` of the frame's best
+        best_per_frame = escore.max(axis=1, keepdims=True)
+        ok = (escore >= best_per_frame + thresh) & (escore > NEG_INF / 2)
+        node_of: dict[tuple[int, int], int] = {}
+
+        def get_node(w: int, sf: int) -> int:
+            key = (w, sf)
+            if key not in node_of:
+                wid = words[w]
+                n = LatNode(word=d.wordstr(wid), base=d.basestr(wid),
+                            sf=sf, is_fill=d.is_filler(wid),
+                            id=len(lat.nodes))
+                lat.nodes.append(n)
+                node_of[key] = n.id
+            return node_of[key]
+
+        # ends[t] = list of (node_id, ascr) for exits at frame t
+        ends: list[list[tuple[int, float]]] = [[] for _ in range(T)]
+        for t in range(T):
+            for w in np.nonzero(ok[t])[0]:
+                sf = int(estf[t, w])
+                if sf > t:
+                    continue
+                nid = get_node(int(w), sf)
+                ends[t].append((nid, float(eascr[t, w])))
+        # links: exits at t feed nodes starting at t+1
+        starts: dict[int, list[int]] = {}
+        for nid, n in enumerate(lat.nodes):
+            starts.setdefault(n.sf, []).append(nid)
+        for t in range(T - 1):
+            for nid, ascr in ends[t]:
+                for dst in starts.get(t + 1, ()):
+                    link = LatLink(src=nid, dst=dst, ef=t, ascr=ascr)
+                    lid = len(lat.links)
+                    lat.links.append(link)
+                    lat.nodes[nid].exits.append(lid)
+                    lat.nodes[dst].entries.append(lid)
+        # start node: the decoder's start word instance at frame 0 if
+        # present, else any node at sf == 0
+        start_word = None
+        if getattr(dec, "start_idx", None) is not None:
+            start_word = d.wordstr(words[dec.start_idx])
+        for nid, n in enumerate(lat.nodes):
+            if n.sf == 0 and (start_word is None or n.word == start_word):
+                lat.start = nid
+                break
+        if lat.start < 0:
+            for nid, n in enumerate(lat.nodes):
+                if n.sf == 0:
+                    lat.start = nid
+                    break
+        # end node: best exit at final frame; add a terminal node
+        term = LatNode(word="", base="", sf=T, is_fill=True,
+                       id=len(lat.nodes))
+        lat.nodes.append(term)
+        lat.end = term.id
+        for nid, ascr in ends[T - 1]:
+            lid = len(lat.links)
+            lat.links.append(LatLink(src=nid, dst=term.id, ef=T - 1,
+                                     ascr=ascr))
+            lat.nodes[nid].exits.append(lid)
+            term.entries.append(lid)
+        return lat
+
+    @property
+    def n_nodes(self):
+        return len(self.nodes)
+
+    @property
+    def n_links(self):
+        return len(self.links)
+
+    # -- traversal order -----------------------------------------------------
+
+    def _topo_links(self) -> list[int]:
+        """Links ordered by end frame (a topological order since every
+        link spans forward in time)."""
+        return sorted(range(len(self.links)),
+                      key=lambda i: self.links[i].ef)
+
+    # -- bestpath (3rd pass) -------------------------------------------------
+
+    def bestpath(self, lm=None, lwf: float = 1.0, silpen: float = 0.0,
+                 fillpen: float = 0.0):
+        """Forward DP over links maximizing ascr + lwf * LM(word | hist),
+        fillers bypassed for LM context (ps_lattice_bestpath).  Returns
+        (best hyp string, list of (word, sf, ef), best score)."""
+        order = self._topo_links()
+        score = np.full(len(self.links), NEG_INF)
+        back = np.full(len(self.links), -1, dtype=np.int64)
+
+        def lm_score(hist_base: str | None, node: LatNode) -> float:
+            if node.is_fill or lm is None:
+                return silpen if node.word == "<sil>" else fillpen
+            h = lm.wid(hist_base) if hist_base else -1
+            w = lm.wid(node.base)
+            if w < 0:
+                return fillpen
+            return lm.score(w, [h] if h >= 0 else []) / SHIFT * lwf
+
+        # incoming LM history for a link = base word of its src node
+        for li in order:
+            l = self.links[li]
+            src, dst = self.nodes[l.src], self.nodes[l.dst]
+            if l.src == self.start:
+                prev = l.ascr + lm_score(None, src)
+                if prev > score[li]:
+                    score[li] = prev
+                    back[li] = -1
+            for pi in src.entries:
+                p = self.links[pi]
+                if score[pi] <= NEG_INF / 2:
+                    continue
+                # LM context: predecessor's real-word chain
+                hist = self.nodes[p.src].base \
+                    if not self.nodes[p.src].is_fill else None
+                cand = score[pi] + l.ascr + lm_score(hist, src)
+                if cand > score[li]:
+                    score[li] = cand
+                    back[li] = pi
+        # best terminal link
+        term_links = [li for li, l in enumerate(self.links)
+                      if l.dst == self.end]
+        if not term_links:
+            return "", [], NEG_INF
+        best = max(term_links, key=lambda li: score[li])
+        chain = []
+        li = best
+        while li >= 0:
+            chain.append(li)
+            li = int(back[li])
+        chain.reverse()
+        segs = []
+        for li in chain:
+            l = self.links[li]
+            n = self.nodes[l.src]
+            segs.append((n.word, n.sf, l.ef))
+        hyp = " ".join(self.nodes[self.links[li].src].base for li in chain
+                       if not self.nodes[self.links[li].src].is_fill)
+        return hyp, segs, float(score[best])
+
+    # -- posteriors ----------------------------------------------------------
+
+    def posterior(self, ascale: float = 20.0):
+        """Forward-backward over links; sets link.post (log posterior,
+        nats) and returns the normalizer.  Acoustic scores scaled by
+        1/ascale like ps_lattice_posterior."""
+        order = self._topo_links()
+        sc = LN_BASE_SHIFTED / ascale   # shifted units -> scaled nats
+
+        def lse(a, b):
+            if a <= NEG_INF / 2:
+                return b
+            if b <= NEG_INF / 2:
+                return a
+            m = max(a, b)
+            return m + math.log1p(math.exp(min(a, b) - m))
+
+        for li in order:
+            l = self.links[li]
+            a = l.ascr * sc
+            if l.src == self.start:
+                l.alpha = a
+            total = NEG_INF
+            for pi in self.nodes[l.src].entries:
+                total = lse(total, self.links[pi].alpha)
+            if total > NEG_INF / 2:
+                l.alpha = lse(l.alpha if l.src == self.start else NEG_INF,
+                              total + a)
+        for li in reversed(order):
+            l = self.links[li]
+            if l.dst == self.end:
+                l.beta = 0.0
+            total = NEG_INF
+            for ni in self.nodes[l.dst].exits:
+                nl = self.links[ni]
+                total = lse(total, nl.beta + nl.ascr * sc)
+            if total > NEG_INF / 2:
+                l.beta = lse(l.beta if l.dst == self.end else NEG_INF,
+                             total)
+        norm = NEG_INF
+        for li, l in enumerate(self.links):
+            if l.dst == self.end:
+                norm = lse(norm, l.alpha + l.beta)
+        self.norm = norm
+        for l in self.links:
+            l.post = l.alpha + l.beta - norm
+        return norm
+
+    def link_posterior(self, word: str, sf: int, ef: int) -> float:
+        """Posterior probability of a specific word segment (sums over
+        matching links)."""
+        total = NEG_INF
+        for l in self.links:
+            n = self.nodes[l.src]
+            if n.word == word and n.sf == sf and l.ef == ef:
+                if total <= NEG_INF / 2:
+                    total = l.post
+                else:
+                    m = max(total, l.post)
+                    total = m + math.log1p(math.exp(min(total, l.post) - m))
+        return min(math.exp(total), 1.0) if total > NEG_INF / 2 else 0.0
+
+    # -- N-best (A*) ---------------------------------------------------------
+
+    def nbest(self, n: int, lm=None, lwf: float = 1.0):
+        """A* search over links; yields up to n (hyp, score) in
+        descending score order (ps_astar_start/next/hyp)."""
+        import heapq
+        # heuristic: best remaining score from each node to the end
+        order = self._topo_links()
+        rem = np.full(len(self.nodes), NEG_INF)
+        rem[self.end] = 0.0
+        for li in reversed(order):
+            l = self.links[li]
+            cand = l.ascr + rem[l.dst]
+            if cand > rem[l.src]:
+                rem[l.src] = cand
+        # search states: (-(g+h), counter, node, g, path)
+        cnt = 0
+        heap = [(-(0.0 + rem[self.start]), cnt, self.start, 0.0, ())]
+        results = []
+        seen = set()
+        while heap and len(results) < n:
+            negf, _, nid, g, path = heapq.heappop(heap)
+            if nid == self.end:
+                words = tuple(self.nodes[self.links[li].src].base
+                              for li in path
+                              if not self.nodes[self.links[li].src].is_fill)
+                if words not in seen:
+                    seen.add(words)
+                    results.append((" ".join(words), g))
+                continue
+            for li in self.nodes[nid].exits:
+                l = self.links[li]
+                lscr = 0.0
+                if lm is not None and not self.nodes[l.src].is_fill:
+                    w = lm.wid(self.nodes[l.src].base)
+                    if w >= 0:
+                        # unigram-ish heuristic LM for ordering
+                        lscr = lm.raw_score(w, []) / SHIFT * lwf
+                g2 = g + l.ascr + lscr
+                cnt += 1
+                heapq.heappush(heap, (-(g2 + rem[l.dst]), cnt, l.dst, g2,
+                                      path + (li,)))
+        return results
+
+    # -- output --------------------------------------------------------------
+
+    def write_htk(self, path: str):
+        """HTK SLF format (ps_lattice_write_htk)."""
+        with open(path, "w") as f:
+            f.write("# Lattice generated by pocketsphinx-tpu\n")
+            f.write(f"N={len(self.nodes)}\tL={len(self.links)}\n")
+            for n in self.nodes:
+                t = n.sf / self.frate
+                w = n.word if n.word else "!NULL"
+                f.write(f"I={n.id}\tt={t:.2f}\tW={w}\n")
+            for i, l in enumerate(self.links):
+                f.write(f"J={i}\tS={l.src}\tE={l.dst}"
+                        f"\ta={l.ascr:.2f}\tl={l.lscr:.2f}\n")
+
+    def write(self, path: str):
+        """Native-style lattice dump (simplified ps_lattice format)."""
+        with open(path, "w") as f:
+            f.write(f"# frames {self.n_frames}\n")
+            f.write("# nodes\n")
+            for n in self.nodes:
+                f.write(f"{n.id} {n.word or '!NULL'} {n.sf}\n")
+            f.write("# links\n")
+            for l in self.links:
+                f.write(f"{l.src} {l.dst} {l.ef} {l.ascr:.3f}\n")

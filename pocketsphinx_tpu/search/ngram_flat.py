@@ -254,7 +254,7 @@ class NgramFlatDecoder:
             self.silpen, self.fillpen)
 
         def step(carry, xs):
-            S, STF, RW1, RW2, PRW = carry
+            S, STF, RW1, RW2, PRW, ENTV = carry
             sen_t, t = xs
             s = S + sen_t                                 # [P,3]
             # exit (non-emitting)
@@ -270,6 +270,7 @@ class NgramFlatDecoder:
             out_rw1 = out_meta(RW1)
             out_rw2 = out_meta(RW2)
             out_prw = out_meta(PRW)
+            out_entv = out_meta(ENTV)
             # in-phone state updates (tie rules per hmm.c)
             c2 = jnp.stack([s[:, 1] + tp[:, 1, 2], s[:, 2] + tp[:, 2, 2],
                             s[:, 0] + tp[:, 0, 2]], axis=-1)
@@ -293,6 +294,7 @@ class NgramFlatDecoder:
             newRW1 = gather_meta(RW1)
             newRW2 = gather_meta(RW2)
             newPRW = gather_meta(PRW)
+            newENTV = gather_meta(ENTV)
             # intra-word chain entry (from predecessor phone's exit)
             chain_entry = jnp.where(has_pred, out[chain_pred] + self.pip,
                                     NEG_INF)
@@ -305,6 +307,8 @@ class NgramFlatDecoder:
             newRW1 = newRW1.at[:, 0].set(chw(out_rw1[chain_pred], newRW1))
             newRW2 = newRW2.at[:, 0].set(chw(out_rw2[chain_pred], newRW2))
             newPRW = newPRW.at[:, 0].set(chw(out_prw[chain_pred], newPRW))
+            newENTV = newENTV.at[:, 0].set(chw(out_entv[chain_pred],
+                                               newENTV))
 
             # word exits
             exg = out[exit_node]                          # [W(exit), W(next)]
@@ -313,6 +317,9 @@ class NgramFlatDecoder:
             estf = out_stf[exit_node_sil]
             eprw = out_prw[exit_node_sil]
             escore = out[exit_node_sil]
+            # pred-independent segment acoustic score (exit minus the
+            # entry value carried since word start) — the lattice link ascr
+            eascr = escore - out_entv[exit_node_sil]
             lmrow = lm_cube[eh2, eh1]                     # [W, W]
             trans_real = exg + lmrow + (self.nwpen + self.pip)
             trans_fill = exg + fillpen_w[None, :]
@@ -337,28 +344,32 @@ class NgramFlatDecoder:
             newRW1 = apply(newRW1, new_rw1[ew])
             newRW2 = apply(newRW2, new_rw2[ew])
             newPRW = apply(newPRW, ent_src[ew])
+            newENTV = apply(newENTV, e_here)
             m = jnp.max(newS)
             newS = newS - m
-            rec = (escore, estf, eprw)
-            return (newS, newSTF, newRW1, newRW2, newPRW), rec
+            newENTV = newENTV - m
+            rec = (escore, estf, eprw, eascr, eh1, eh2)
+            return (newS, newSTF, newRW1, newRW2, newPRW, newENTV), rec
 
         S0 = np.full((P, 3), NEG_INF, np.float32)
         STF0 = np.zeros((P, 3), np.int32)
         RW10 = np.zeros((P, 3), np.int32)
         RW20 = np.full((P, 3), V, np.int32)   # V = "no history"
         PRW0 = np.full((P, 3), -1, np.int32)
+        ENTV0 = np.zeros((P, 3), np.float32)
         if self.start_idx is not None:
             s_lm = self.lm.wid("<s>")
             S0[self.first_node[self.start_idx], 0] = 0.0
             RW10[self.first_node[self.start_idx], 0] = max(s_lm, 0)
         carry0 = (jnp.asarray(S0), jnp.asarray(STF0), jnp.asarray(RW10),
-                  jnp.asarray(RW20), jnp.asarray(PRW0))
+                  jnp.asarray(RW20), jnp.asarray(PRW0), jnp.asarray(ENTV0))
         _, recs = jax.lax.scan(step, carry0,
                                (sen, jnp.arange(T, dtype=jnp.int32)))
-        return self._backtrace(recs, T)
+        self.records = tuple(np.asarray(r) for r in recs)
+        return self._backtrace(self.records, T)
 
     def _backtrace(self, recs, T):
-        escore, estf, eprw = [np.asarray(r) for r in recs]
+        escore, estf, eprw = [np.asarray(r) for r in recs[:3]]
         last = escore[T - 1]
         if (self.finish_idx is not None
                 and last[self.finish_idx] > NEG_INF / 2):
