@@ -260,11 +260,12 @@ class Decoder:
             return
         pcm = np.concatenate(self._raw)
         cep = self.fe.process(pcm)
-        cmn = self.config["cmn"]
-        if cmn == "live":
-            feats = compute_feats(cep, cmn="live", cmn_state=self.cmn_state)
-        else:
-            feats = compute_feats(cep, cmn=cmn)
+        from .frontend.feat import compute_feats_typed
+        feats, featlen = compute_feats_typed(
+            cep, feat_type=self.config["feat"],
+            svspec=self.config["svspec"],
+            cmn=self.config["cmn"], cmn_state=self.cmn_state,
+            agc=self.config["agc"], varnorm=self.config["varnorm"])
         self._feats = feats
         self._decode(feats)
 

@@ -178,11 +178,23 @@ def read_sendump(path: str, n_sen_mdef: int, n_feat: int, n_density: int) -> Mix
             break
         s = data[pos:pos + n].split(b"\0")[0].decode("latin-1")
         pos += n
+        def atoi(txt: str) -> int:
+            """C atoi: leading integer or 0 (header values may be
+            non-numeric strings in old sendump files)."""
+            txt = txt.strip()
+            n = 0
+            neg = txt.startswith("-")
+            for ch in txt.lstrip("+-"):
+                if not ch.isdigit():
+                    break
+                n = n * 10 + int(ch)
+            return -n if neg else n
+
         for key, setter in (("feature_count ", "nf"), ("mixture_count ", "nd"),
                             ("model_count ", "n_sen"), ("cluster_count ", "n_clust"),
                             ("cluster_bits ", "n_bits")):
             if s.startswith(key):
-                val = int(s[len(key):])
+                val = atoi(s[len(key):])
                 if setter == "nf":
                     nf = val
                 elif setter == "nd":

@@ -182,7 +182,89 @@ class BinMdef:
             self.cd2cisen[sens[:, j]] = ci_sens[:, j]
 
 
+def read_text_mdef(path: str) -> BinMdef:
+    """Sphinx-3 text model-definition parser (src/mdef.c re-design).
+
+    Format: version line (0.3), "<n> n_base / n_tri / n_state_map /
+    n_tied_state / n_tied_ci_state / n_tied_tmat" count lines, then one
+    row per phone: base lft rt wpos attrib tmat state-ids... N."""
+    counts = {}
+    rows = []
+    version = None
+    for raw in open(path):
+        line = raw.split("#")[0].strip()
+        if not line:
+            continue
+        parts = line.split()
+        if version is None:
+            version = parts[0]
+            continue
+        if len(parts) == 2 and parts[1].startswith("n_"):
+            counts[parts[1]] = int(parts[0])
+            continue
+        rows.append(parts)
+    n_ci = counts.get("n_base", 0)
+    n_sen = counts.get("n_tied_state", 0)
+    n_ci_sen = counts.get("n_tied_ci_state", n_sen)
+    n_tmat = counts.get("n_tied_tmat", 0)
+    n_phone = n_ci + counts.get("n_tri", 0)
+    if len(rows) != n_phone:
+        raise ValueError(f"{path}: {len(rows)} phone rows != {n_phone}")
+    n_emit = len(rows[0]) - 7  # base lft rt p attrib tmat ... N
+    ciname = [r[0] for r in rows[:n_ci]]
+    cidx = {n: i for i, n in enumerate(ciname)}
+    wpos_map = {c: i for i, c in enumerate(WPOS_NAME)}
+    phone_ssid = np.zeros(n_phone, np.int32)
+    phone_tmat = np.zeros(n_phone, np.int32)
+    phone_ci = np.arange(n_phone, dtype=np.int32)
+    phone_lc = np.full(n_phone, -1, np.int32)
+    phone_rc = np.full(n_phone, -1, np.int32)
+    phone_wpos = np.full(n_phone, -1, np.int32)
+    filler = np.zeros(n_phone, bool)
+    sseqs: dict[tuple, int] = {}
+    sseq_rows = []
+    pid_table = np.full((N_WORD_POSN, n_ci, n_ci, n_ci), -1, np.int32)
+    for p, r in enumerate(rows):
+        base, lft, rt, wp, attrib, tmat = r[:6]
+        states = tuple(int(s) for s in r[6:6 + n_emit])
+        if states not in sseqs:
+            sseqs[states] = len(sseq_rows)
+            sseq_rows.append(states)
+        phone_ssid[p] = sseqs[states]
+        phone_tmat[p] = int(tmat)
+        filler[p] = attrib == "filler"
+        if lft != "-":
+            phone_ci[p] = cidx[base]
+            phone_lc[p] = cidx[lft]
+            phone_rc[p] = cidx[rt]
+            phone_wpos[p] = wpos_map.get(wp, 0)
+            pid_table[phone_wpos[p], phone_ci[p], phone_lc[p],
+                      phone_rc[p]] = p
+    filler = filler[phone_ci]
+    m = BinMdef(
+        n_ciphone=n_ci, n_phone=n_phone, n_emit_state=n_emit,
+        n_ci_sen=n_ci_sen, n_sen=n_sen, n_tmat=n_tmat,
+        n_sseq=len(sseq_rows), n_ctx=3, sil=-1, ciname=ciname,
+        cd_ctx=np.zeros(0, np.int16), cd_n_down=np.zeros(0, np.int16),
+        cd_down=np.zeros(0, np.int32),
+        phone_ssid=phone_ssid, phone_tmat=phone_tmat,
+        phone_filler=filler, phone_ci=phone_ci, phone_lc=phone_lc,
+        phone_rc=phone_rc, phone_wpos=phone_wpos,
+        sseq=np.asarray(sseq_rows, dtype=np.uint16))
+    m.sil = m.ciphone_id(SILENCE_CIPHONE)
+    m._pid_table = pid_table
+    m._build_ci_maps()
+    return m
+
+
 def read_bin_mdef(path: str) -> BinMdef:
+    with open(path, "rb") as f:
+        data = f.read(4)
+    magic = np.frombuffer(data, "<u4", 1, 0)[0]
+    if magic != NATIVE_MAGIC and np.frombuffer(data, ">u4", 1, 0)[0] \
+            != NATIVE_MAGIC:
+        # try the Sphinx-3 text format (bin_mdef_read does this first)
+        return read_text_mdef(path)
     with open(path, "rb") as f:
         data = f.read()
     magic = np.frombuffer(data, "<u4", 1, 0)[0]

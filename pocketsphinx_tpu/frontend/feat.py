@@ -117,18 +117,98 @@ def compute_deltas(cep: np.ndarray) -> np.ndarray:
     return np.stack([c, d, dd], axis=1)
 
 
-def compute_feats(cep: np.ndarray, cmn: str = "batch",
-                  cmn_state: CmnLive | None = None,
-                  agc: str = "none", varnorm: bool = False) -> np.ndarray:
-    """Full dynamic-feature pipeline [T,13] -> [T,3,13] float32."""
+def apply_cmn_agc(cep: np.ndarray, cmn: str = "batch",
+                  cmn_state: CmnLive | None = None, agc: str = "none",
+                  varnorm: bool = False) -> np.ndarray:
     cep = np.asarray(cep, dtype=np.float32)
-    if cmn == "batch":
+    if cmn in ("batch", "current"):      # "current" = legacy name
         cep = cmn_batch(cep, varnorm)
-    elif cmn == "live":
+    elif cmn in ("live", "prior"):
         cep = (cmn_state or CmnLive(cep.shape[1]))(cep)
     if agc == "max":
         cep = agc_max(cep)
+    return cep
+
+
+def compute_feats(cep: np.ndarray, cmn: str = "batch",
+                  cmn_state: CmnLive | None = None,
+                  agc: str = "none", varnorm: bool = False) -> np.ndarray:
+    """Default dynamic-feature pipeline [T,13] -> [T,3,13] float32
+    (1s_c_d_dd with the en-us svspec split)."""
+    cep = apply_cmn_agc(cep, cmn, cmn_state, agc, varnorm)
     return compute_deltas(cep)
+
+
+def compute_feats_typed(cep: np.ndarray, feat_type: str = "1s_c_d_dd",
+                        svspec: str | None = None, cmn: str = "batch",
+                        cmn_state: CmnLive | None = None,
+                        agc: str = "none", varnorm: bool = False):
+    """Feature computation dispatch by -feat type (feat_init,
+    src/feat/feat.c:705-800).  Returns ([T, n_stream, max_len] float32
+    zero-padded, featlen list)."""
+    cep = apply_cmn_agc(cep, cmn, cmn_state, agc, varnorm)
+    T, C = cep.shape
+    if feat_type in ("1s_c_d_dd", "1s_c_d_ld_dd", "s3_1x39"):
+        if feat_type == "s3_1x39":
+            # c1-12, d1-12, c0 dc0 ddc0, dd1-12 (feat_s3_1x39_cep2feat)
+            st = compute_deltas(cep)            # [T,3,13]
+            c, d, dd = st[:, 0], st[:, 1], st[:, 2]
+            vec = np.concatenate(
+                [c[:, 1:], d[:, 1:], np.stack(
+                    [c[:, 0], d[:, 0], dd[:, 0]], axis=1), dd[:, 1:]],
+                axis=1)
+        else:
+            st = compute_deltas(cep)
+            vec = st.reshape(T, -1)             # [T, 39] c/d/dd
+        if svspec:
+            streams = parse_subvecs(svspec)
+            maxlen = max(len(s) for s in streams)
+            out = np.zeros((T, len(streams), maxlen), np.float32)
+            for i, idx in enumerate(streams):
+                out[:, i, :len(idx)] = vec[:, idx]
+            return out, [len(s) for s in streams]
+        return vec[:, None, :], [vec.shape[1]]
+    if feat_type == "s2_4x":
+        # Sphinx-II 4-stream (feat_s2_4x_cep2feat, src/feat/feat.c:425):
+        # cep c1-12 | dcep short(+-2)+long(+-4) | pow c0,dc0,ddc0 | ddcep
+        if C != 13:
+            raise ValueError("s2_4x features require cepsize 13")
+        win = 4
+        pad = np.concatenate([np.repeat(cep[:1], win, 0), cep,
+                              np.repeat(cep[-1:], win, 0)], axis=0)
+
+        def at(off):
+            return pad[win + off:win + off + T]
+        c = at(0)
+        d_s = at(2) - at(-2)
+        d_l = at(4) - at(-4)
+        dd = (at(3) - at(-1)) - (at(1) - at(-3))
+        out = np.zeros((T, 4, 24), np.float32)
+        out[:, 0, :12] = c[:, 1:]
+        out[:, 1, :12] = d_s[:, 1:]
+        out[:, 1, 12:24] = d_l[:, 1:]
+        out[:, 2, 0] = c[:, 0]
+        out[:, 2, 1] = d_s[:, 0]
+        out[:, 2, 2] = dd[:, 0]
+        out[:, 3, :12] = dd[:, 1:]
+        return out, [12, 24, 3, 12]
+    raise ValueError(f"unsupported feature type {feat_type!r}")
+
+
+def parse_subvecs(spec: str) -> list[np.ndarray]:
+    """Subvector spec parser (parse_subvecs, src/feat/feat.c:169-230):
+    streams separated by '/', each a comma list of indices or a-b ranges."""
+    streams = []
+    for part in spec.split("/"):
+        idx: list[int] = []
+        for item in part.split(","):
+            if "-" in item:
+                a, b = item.split("-")
+                idx.extend(range(int(a), int(b) + 1))
+            elif item:
+                idx.append(int(item))
+        streams.append(np.asarray(idx, dtype=np.int64))
+    return streams
 
 
 # ---------------------------------------------------------------------------

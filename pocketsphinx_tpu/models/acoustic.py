@@ -174,12 +174,20 @@ def senone_scores_jax(model_arrays: dict, cb_groups: dict, feats,
     dnorm = jnp.maximum(dens - norm, -96.0)         # <= 0
 
     E = jnp.exp(dnorm * UNIT_NATS)                  # [B,T,CB,F,D]
-    if topn:
+    if topn and topn < D:
         kth = jax.lax.top_k(dnorm, topn)[0][..., -1:]   # [B,T,CB,F,1]
         E = jnp.where(dnorm >= kth, E, 0.0)
+    w_lin = jnp.asarray(model_arrays["w_lin"])      # [F,D,S]
+    S = w_lin.shape[-1]
+    if CB == S:
+        # Fully-continuous model (one codebook per senone): the mixture
+        # sum is diagonal in the codebook axis — one fused einsum.
+        P_diag = jnp.einsum("btcfd,fdc->btcf", E, w_lin, precision=hp)
+        fden = jnp.log(jnp.maximum(P_diag, 1e-37)) / UNIT_NATS
+        goodness = fden.sum(axis=-1)                # [B,T,S]
+        return goodness.max(axis=-1, keepdims=True) - goodness
     # Block-diagonal mixture matmul over codebook groups:
     # Wg[cb,f,d,s] = w_lin[f,d,sen_pad[cb,s]]
-    w_lin = jnp.asarray(model_arrays["w_lin"])      # [F,D,S]
     sen_pad = jnp.asarray(cb_groups["sen_pad"])     # [CB,Smax]
     mask = jnp.asarray(cb_groups["mask"])
     Wg = w_lin[:, :, sen_pad].transpose(2, 0, 1, 3)     # [CB,F,D,Smax]

@@ -30,6 +30,7 @@ import numpy as np
 
 from ..models.dict2pid import Dict2Pid
 from ..models.acoustic import AcousticModel, UNIT_NATS
+from ..ops.hmm import hmm_step, propagate_meta, out_meta as hmm_out_meta
 
 NEG_INF = -1e30
 MAX_PREDS = 8
@@ -227,11 +228,10 @@ class Aligner:
         nodes = self.build_graph(words)
         P = len(nodes)
         NST = self.mdef.n_emit_state
-        assert NST == 3, "alignment currently supports 3-state topologies"
         senid = np.array([self.mdef.sseq[n.ssid] for n in nodes],
-                         dtype=np.int32)                      # [P,3]
+                         dtype=np.int32)                      # [P,NST]
         tpc = self.am.tmat.tp[[n.tmat for n in nodes]].astype(np.float32)
-        tp = np.where(tpc == 255, NEG_INF, -tpc)              # [P,3,4]
+        tp = np.where(tpc == 255, NEG_INF, -tpc)              # goodness
 
         preds = np.zeros((P, MAX_PREDS), dtype=np.int32)
         pred_pen = np.full((P, MAX_PREDS), NEG_INF, dtype=np.float32)
@@ -255,67 +255,44 @@ class Aligner:
         pen_j = jnp.asarray(pred_pen)
 
         def step(S, sen_t):
-            s = S + sen_t                                      # [P,3]
-            # exit (non-emitting): sources state1, state2 (tie -> state1)
-            cand_out = jnp.stack([s[:, 1] + tp_j[:, 1, 3],
-                                  s[:, 2] + tp_j[:, 2, 3]], axis=-1)
-            oc = jnp.argmax(cand_out, axis=-1)
-            out = jnp.max(cand_out, axis=-1)
-            # state 2: priority from1, self, skip-from0
-            c2 = jnp.stack([s[:, 1] + tp_j[:, 1, 2],
-                            s[:, 2] + tp_j[:, 2, 2],
-                            s[:, 0] + tp_j[:, 0, 2]], axis=-1)
-            a2 = jnp.argmax(c2, axis=-1)
-            n2 = jnp.max(c2, axis=-1)
-            # state 1: priority from0, self
-            c1 = jnp.stack([s[:, 0] + tp_j[:, 0, 1],
-                            s[:, 1] + tp_j[:, 1, 1]], axis=-1)
-            a1 = jnp.argmax(c1, axis=-1)
-            n1 = jnp.max(c1, axis=-1)
-            n0 = s[:, 0] + tp_j[:, 0, 0]
+            newS, srcm, out, out_src = hmm_step(S, sen_t, tp_j)
             # entry: max over predecessor exits + edge penalty
             evals = out[preds_j] + pen_j                       # [P,K]
             esrc = jnp.argmax(evals, axis=-1)
             entry = jnp.max(evals, axis=-1)
-            ewin = entry > n0
-            n0 = jnp.where(ewin, entry, n0)
-            Snew = jnp.stack([n0, n1, n2], axis=-1)
-            m = jnp.max(Snew)
-            Snew = Snew - m
-            return Snew, (oc.astype(jnp.uint8), a2.astype(jnp.uint8),
-                          a1.astype(jnp.uint8), ewin,
-                          esrc.astype(jnp.uint8), m, out - m)
+            ewin = entry > newS[:, 0]
+            newS = newS.at[:, 0].set(jnp.where(ewin, entry, newS[:, 0]))
+            m = jnp.max(newS)
+            newS = newS - m
+            return newS, (srcm.astype(jnp.int8), out_src.astype(jnp.int8),
+                          ewin, esrc.astype(jnp.uint8), out - m)
 
         S0 = np.full((P, NST), NEG_INF, np.float32)
         for pi, n in enumerate(nodes):
             if n.is_start:
                 S0[pi, 0] = n.start_pen
-        Sfin, (OC, A2, A1, EWIN, ESRC, MM, OUT) = jax.lax.scan(
+        Sfin, (SRC, OSRC, EWIN, ESRC, OUT) = jax.lax.scan(
             step, jnp.asarray(S0), sen)
         return self._backtrace(words, nodes, np.asarray(sen),
-                               np.asarray(OC), np.asarray(A2),
-                               np.asarray(A1), np.asarray(EWIN),
-                               np.asarray(ESRC), np.asarray(OUT), preds)
+                               np.asarray(SRC), np.asarray(OSRC),
+                               np.asarray(EWIN), np.asarray(ESRC),
+                               np.asarray(OUT), preds)
 
-    def _backtrace(self, words, nodes, sen, OC, A2, A1, EWIN, ESRC, OUT,
+    def _backtrace(self, words, nodes, sen, SRC, OSRC, EWIN, ESRC, OUT,
                    preds):
         T, P, _ = sen.shape
         best_p = max(self._final_frontier, key=lambda c: OUT[T - 1, c])
         p = best_p
-        jcur = int(OC[T - 1, p]) + 1       # source state of the final exit
+        jcur = int(OSRC[T - 1, p])         # source state of the final exit
         emitted = np.zeros((T, 2), dtype=np.int32)
         t = T - 1
         while t >= 0:
             emitted[t] = (p, jcur)
-            if jcur == 2:
-                src = (1, 2, 0)[A2[t, p]]
-            elif jcur == 1:
-                src = (0, 1)[A1[t, p]]
-            else:
-                src = 0
+            src = int(SRC[t, p, jcur])
             if src == 0 and t > 0 and EWIN[t - 1, p]:
+                # entered at end of frame t-1 from a predecessor's exit
                 p = int(preds[p, ESRC[t - 1, p]])
-                jcur = int(OC[t - 1, p]) + 1
+                jcur = int(OSRC[t - 1, p])
             else:
                 jcur = src
             t -= 1

@@ -17,6 +17,7 @@ import numpy as np
 from ..models.acoustic import AcousticModel, UNIT_NATS
 from ..lm.ngram import NgramModel
 from .ngram_flat import Seg
+from ..ops.hmm import hmm_step, propagate_meta, out_meta as hmm_out_meta
 
 NEG_INF = -1e30
 SHIFT = 1 << 10
@@ -73,39 +74,19 @@ class AllphoneDecoder:
         costs = jnp.asarray(costs)
         T = costs.shape[0]
         P = self.n_phone
-        sen = -costs[:, self.senid.reshape(-1)].reshape(T, P, 3)
+        NST = self.mdef.n_emit_state
+        sen = -costs[:, self.senid.reshape(-1)].reshape(T, P, NST)
         tp = jnp.asarray(self.tp)
         M = jnp.asarray(self.M)
 
         def step(carry, xs):
             S, STF, PRP = carry
             sen_t, t = xs
-            s = S + sen_t
-            cand = jnp.stack([s[:, 1] + tp[:, 1, 3],
-                              s[:, 2] + tp[:, 2, 3]], axis=-1)
-            oc = jnp.argmax(cand, axis=-1)
-            out = jnp.max(cand, axis=-1)
-
-            def om(Mx):
-                return jnp.take_along_axis(Mx[:, 1:3], oc[:, None],
-                                           axis=1)[:, 0]
-            out_stf, out_prp = om(STF), om(PRP)
-            c2 = jnp.stack([s[:, 1] + tp[:, 1, 2], s[:, 2] + tp[:, 2, 2],
-                            s[:, 0] + tp[:, 0, 2]], axis=-1)
-            a2 = jnp.argmax(c2, axis=-1)
-            src2 = jnp.array([1, 2, 0])[a2]
-            c1 = jnp.stack([s[:, 0] + tp[:, 0, 1],
-                            s[:, 1] + tp[:, 1, 1]], axis=-1)
-            a1 = jnp.argmax(c1, axis=-1)
-            src1 = jnp.array([0, 1])[a1]
-            newS = jnp.stack([s[:, 0] + tp[:, 0, 0], jnp.max(c1, -1),
-                              jnp.max(c2, -1)], axis=-1)
-
-            def gm(Mx):
-                m1 = jnp.take_along_axis(Mx, src1[:, None], axis=1)[:, 0]
-                m2 = jnp.take_along_axis(Mx, src2[:, None], axis=1)[:, 0]
-                return jnp.stack([Mx[:, 0], m1, m2], axis=-1)
-            newSTF, newPRP = gm(STF), gm(PRP)
+            newS, srcm, out, out_src = hmm_step(S, sen_t, tp)
+            out_stf = hmm_out_meta(STF, out_src)
+            out_prp = hmm_out_meta(PRP, out_src)
+            newSTF = propagate_meta(STF, srcm)
+            newPRP = propagate_meta(PRP, srcm)
             trans = out[:, None] + M                      # [from, to]
             ent_src = jnp.argmax(trans, axis=0)
             entry = jnp.max(trans, axis=0)
@@ -118,10 +99,10 @@ class AllphoneDecoder:
             m = jnp.max(newS)
             return (newS - m, newSTF, newPRP), (out, out_stf, out_prp)
 
-        S0 = np.full((P, 3), NEG_INF, np.float32)
+        S0 = np.full((P, NST), NEG_INF, np.float32)
         S0[:, 0] = 0.0     # any phone may start
-        STF0 = np.zeros((P, 3), np.int32)
-        PRP0 = np.full((P, 3), -1, np.int32)
+        STF0 = np.zeros((P, NST), np.int32)
+        PRP0 = np.full((P, NST), -1, np.int32)
         _, (eout, estf, eprp) = jax.lax.scan(
             step, (jnp.asarray(S0), jnp.asarray(STF0), jnp.asarray(PRP0)),
             (sen, jnp.arange(T, dtype=jnp.int32)))

@@ -25,6 +25,7 @@ from ..models.dict2pid import Dict2Pid
 from ..models.acoustic import AcousticModel, UNIT_NATS
 from ..lm.fsg import FsgModel
 from .ngram_flat import Seg
+from ..ops.hmm import hmm_step, propagate_meta, out_meta as hmm_out_meta
 
 NEG_INF = -1e30
 SHIFT = 1 << 10
@@ -174,7 +175,8 @@ class FsgDecoder:
         costs = jnp.asarray(costs)
         T = costs.shape[0]
         P, A = self.P, self.A
-        sen = -costs[:, self.senid.reshape(-1)].reshape(T, P, 3)
+        NST = self.mdef.n_emit_state
+        sen = -costs[:, self.senid.reshape(-1)].reshape(T, P, NST)
         tp = jnp.asarray(self.tp)
         chain_pred = jnp.asarray(np.maximum(self.chain_pred, 0))
         has_pred = jnp.asarray(self.chain_pred >= 0)
@@ -190,38 +192,13 @@ class FsgDecoder:
         def step(carry, xs):
             S, STF, PRA, ENTV = carry
             sen_t, t = xs
-            s = S + sen_t
-            cand_out = jnp.stack([s[:, 1] + tp[:, 1, 3],
-                                  s[:, 2] + tp[:, 2, 3]], axis=-1)
-            oc = jnp.argmax(cand_out, axis=-1)
-            out = jnp.max(cand_out, axis=-1)
-
-            def out_meta(Mx):
-                return jnp.take_along_axis(Mx[:, 1:3], oc[:, None],
-                                           axis=1)[:, 0]
-            out_stf = out_meta(STF)
-            out_pra = out_meta(PRA)
-            out_entv = out_meta(ENTV)
-            c2 = jnp.stack([s[:, 1] + tp[:, 1, 2], s[:, 2] + tp[:, 2, 2],
-                            s[:, 0] + tp[:, 0, 2]], axis=-1)
-            a2 = jnp.argmax(c2, axis=-1)
-            src2 = jnp.array([1, 2, 0])[a2]
-            n2 = jnp.max(c2, axis=-1)
-            c1 = jnp.stack([s[:, 0] + tp[:, 0, 1],
-                            s[:, 1] + tp[:, 1, 1]], axis=-1)
-            a1 = jnp.argmax(c1, axis=-1)
-            src1 = jnp.array([0, 1])[a1]
-            n1 = jnp.max(c1, axis=-1)
-            n0 = s[:, 0] + tp[:, 0, 0]
-            newS = jnp.stack([n0, n1, n2], axis=-1)
-
-            def gmeta(Mx):
-                m1 = jnp.take_along_axis(Mx, src1[:, None], axis=1)[:, 0]
-                m2 = jnp.take_along_axis(Mx, src2[:, None], axis=1)[:, 0]
-                return jnp.stack([Mx[:, 0], m1, m2], axis=-1)
-            newSTF = gmeta(STF)
-            newPRA = gmeta(PRA)
-            newENTV = gmeta(ENTV)
+            newS, srcm, out, out_src = hmm_step(S, sen_t, tp)
+            out_stf = hmm_out_meta(STF, out_src)
+            out_pra = hmm_out_meta(PRA, out_src)
+            out_entv = hmm_out_meta(ENTV, out_src)
+            newSTF = propagate_meta(STF, srcm)
+            newPRA = propagate_meta(PRA, srcm)
+            newENTV = propagate_meta(ENTV, srcm)
             chain_entry = jnp.where(has_pred, out[chain_pred] + self.pip,
                                     NEG_INF)
             ch_win = chain_entry > newS[:, 0]
@@ -259,10 +236,10 @@ class FsgDecoder:
             return (newS, newSTF, newPRA, newENTV), (escore, estf, epra,
                                                      eascr, final_score)
 
-        S0 = np.full((self.P, 3), NEG_INF, np.float32)
-        STF0 = np.zeros((self.P, 3), np.int32)
-        PRA0 = np.full((self.P, 3), -1, np.int32)
-        ENTV0 = np.zeros((self.P, 3), np.float32)
+        S0 = np.full((self.P, NST), NEG_INF, np.float32)
+        STF0 = np.zeros((self.P, NST), np.int32)
+        PRA0 = np.full((self.P, NST), -1, np.int32)
+        ENTV0 = np.zeros((self.P, NST), np.float32)
         for k, node in enumerate(entry_nodes):
             a = entry_arcs[k]
             if np.isfinite(self.start_entry[a]):

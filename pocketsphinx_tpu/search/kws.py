@@ -18,6 +18,7 @@ import numpy as np
 from ..models.dict2pid import Dict2Pid
 from ..models.acoustic import AcousticModel, UNIT_NATS
 from .ngram_flat import Seg
+from ..ops.hmm import hmm_step
 
 NEG_INF = -1e30
 
@@ -81,8 +82,9 @@ class KwsDecoder:
         K = max(len(p) for p in self.kw_phones)
         NK = len(self.kw_phones)
         self.kw_len = np.array([len(p) for p in self.kw_phones])
-        senid = np.zeros((NK, K, 3), np.int32)
-        tp = np.full((NK, K, 3, 4), NEG_INF, np.float32)
+        nst = mdef.n_emit_state
+        senid = np.zeros((NK, K, nst), np.int32)
+        tp = np.full((NK, K, nst, nst + 1), NEG_INF, np.float32)
         for i, phones in enumerate(self.kw_phones):
             for j, ci in enumerate(phones):
                 senid[i, j] = mdef.sseq[mdef.phone_ssid[ci]]
@@ -112,34 +114,23 @@ class KwsDecoder:
         nci = self.bg_senid.shape[0]
         NK, K = self.kw_senid.shape[:2]
 
-        bg_sen_all = -costs[:, self.bg_senid.reshape(-1)].reshape(T, nci, 3)
-        kw_sen_all = -costs[:, self.kw_senid.reshape(-1)].reshape(T, NK, K, 3)
+        NST = self.mdef.n_emit_state
+        bg_sen_all = -costs[:, self.bg_senid.reshape(-1)].reshape(T, nci, NST)
+        kw_sen_all = -costs[:, self.kw_senid.reshape(-1)].reshape(T, NK, K, NST)
         bg_tp = jnp.asarray(self.bg_tp)
         kw_tp = jnp.asarray(self.kw_tp)
         kw_len = jnp.asarray(self.kw_len)
 
-        def hmm_step(S, sen_t, tp):
-            s = S + sen_t
-            out = jnp.maximum(s[..., 1] + tp[..., 1, 3],
-                              s[..., 2] + tp[..., 2, 3])
-            n2 = jnp.maximum(jnp.maximum(s[..., 2] + tp[..., 2, 2],
-                                         s[..., 1] + tp[..., 1, 2]),
-                             s[..., 0] + tp[..., 0, 2])
-            n1 = jnp.maximum(s[..., 1] + tp[..., 1, 1],
-                             s[..., 0] + tp[..., 0, 1])
-            n0 = s[..., 0] + tp[..., 0, 0]
-            return jnp.stack([n0, n1, n2], axis=-1), out
-
         def step(carry, xs):
             Sbg, Skw, STF = carry
             bg_sen, kw_sen, t = xs
-            Sbg, bg_out = hmm_step(Sbg, bg_sen, bg_tp)      # [nci,3],[nci]
+            Sbg, _, bg_out, _ = hmm_step(Sbg, bg_sen, bg_tp)
             bg_best = jnp.max(bg_out)
             # background loop: re-enter all phones from the best exit
             enter = bg_best + self.log_plp
             Sbg = Sbg.at[:, 0].set(jnp.maximum(Sbg[:, 0], enter))
             # keyphrase chains
-            Skw, kw_out = hmm_step(Skw, kw_sen, kw_tp)      # [NK,K,3],[NK,K]
+            Skw, _, kw_out, _ = hmm_step(Skw, kw_sen, kw_tp)
             # chain transitions j-1 -> j
             ent = jnp.pad(kw_out[:, :-1], ((0, 0), (1, 0)),
                           constant_values=NEG_INF)
@@ -166,9 +157,9 @@ class KwsDecoder:
             Skw = Skw - m
             return (Sbg, Skw, newSTF), (ratio, kw_stf)
 
-        Sbg0 = np.full((nci, 3), NEG_INF, np.float32)
+        Sbg0 = np.full((nci, NST), NEG_INF, np.float32)
         Sbg0[:, 0] = 0.0
-        Skw0 = np.full((NK, K, 3), NEG_INF, np.float32)
+        Skw0 = np.full((NK, K, NST), NEG_INF, np.float32)
         STF0 = np.zeros((NK, K), np.int32)
         _, (ratios, stfs) = jax.lax.scan(
             step, (jnp.asarray(Sbg0), jnp.asarray(Skw0), jnp.asarray(STF0)),

@@ -39,6 +39,7 @@ from ..fileio.dictionary import Dictionary
 from ..models.dict2pid import Dict2Pid
 from ..models.acoustic import AcousticModel, UNIT_NATS
 from ..lm.ngram import NgramModel
+from ..ops.hmm import hmm_step, propagate_meta, out_meta as hmm_out_meta
 
 NEG_INF = -1e30
 SHIFT = 1 << 10
@@ -233,7 +234,8 @@ class NgramFlatDecoder:
         T = costs.shape[0]
         P, W, V = self.P, self.W, self.V
 
-        sen = -costs[:, self.senid.reshape(-1)].reshape(T, P, 3)
+        NST = self.mdef.n_emit_state
+        sen = -costs[:, self.senid.reshape(-1)].reshape(T, P, NST)
         tp = jnp.asarray(self.tp)
         chain_pred = jnp.asarray(np.maximum(self.chain_pred, 0))
         has_pred = jnp.asarray(self.chain_pred >= 0)
@@ -256,45 +258,18 @@ class NgramFlatDecoder:
         def step(carry, xs):
             S, STF, RW1, RW2, PRW, ENTV = carry
             sen_t, t = xs
-            s = S + sen_t                                 # [P,3]
-            # exit (non-emitting)
-            cand_out = jnp.stack([s[:, 1] + tp[:, 1, 3],
-                                  s[:, 2] + tp[:, 2, 3]], axis=-1)
-            oc = jnp.argmax(cand_out, axis=-1)
-            out = jnp.max(cand_out, axis=-1)              # [P]
+            newS, srcm, out, out_src = hmm_step(S, sen_t, tp)
 
-            def out_meta(M):
-                return jnp.take_along_axis(M[:, 1:3], oc[:, None],
-                                           axis=1)[:, 0]
-            out_stf = out_meta(STF)
-            out_rw1 = out_meta(RW1)
-            out_rw2 = out_meta(RW2)
-            out_prw = out_meta(PRW)
-            out_entv = out_meta(ENTV)
-            # in-phone state updates (tie rules per hmm.c)
-            c2 = jnp.stack([s[:, 1] + tp[:, 1, 2], s[:, 2] + tp[:, 2, 2],
-                            s[:, 0] + tp[:, 0, 2]], axis=-1)
-            a2 = jnp.argmax(c2, axis=-1)
-            n2 = jnp.max(c2, axis=-1)
-            src2 = jnp.array([1, 2, 0])[a2]
-            c1 = jnp.stack([s[:, 0] + tp[:, 0, 1],
-                            s[:, 1] + tp[:, 1, 1]], axis=-1)
-            a1 = jnp.argmax(c1, axis=-1)
-            n1 = jnp.max(c1, axis=-1)
-            src1 = jnp.array([0, 1])[a1]
-            n0 = s[:, 0] + tp[:, 0, 0]
-            newS = jnp.stack([n0, n1, n2], axis=-1)
-
-            def gather_meta(M):
-                m0 = M[:, 0]
-                m1 = jnp.take_along_axis(M, src1[:, None], axis=1)[:, 0]
-                m2 = jnp.take_along_axis(M, src2[:, None], axis=1)[:, 0]
-                return jnp.stack([m0, m1, m2], axis=-1)
-            newSTF = gather_meta(STF)
-            newRW1 = gather_meta(RW1)
-            newRW2 = gather_meta(RW2)
-            newPRW = gather_meta(PRW)
-            newENTV = gather_meta(ENTV)
+            out_stf = hmm_out_meta(STF, out_src)
+            out_rw1 = hmm_out_meta(RW1, out_src)
+            out_rw2 = hmm_out_meta(RW2, out_src)
+            out_prw = hmm_out_meta(PRW, out_src)
+            out_entv = hmm_out_meta(ENTV, out_src)
+            newSTF = propagate_meta(STF, srcm)
+            newRW1 = propagate_meta(RW1, srcm)
+            newRW2 = propagate_meta(RW2, srcm)
+            newPRW = propagate_meta(PRW, srcm)
+            newENTV = propagate_meta(ENTV, srcm)
             # intra-word chain entry (from predecessor phone's exit)
             chain_entry = jnp.where(has_pred, out[chain_pred] + self.pip,
                                     NEG_INF)
@@ -351,12 +326,12 @@ class NgramFlatDecoder:
             rec = (escore, estf, eprw, eascr, eh1, eh2)
             return (newS, newSTF, newRW1, newRW2, newPRW, newENTV), rec
 
-        S0 = np.full((P, 3), NEG_INF, np.float32)
-        STF0 = np.zeros((P, 3), np.int32)
-        RW10 = np.zeros((P, 3), np.int32)
-        RW20 = np.full((P, 3), V, np.int32)   # V = "no history"
-        PRW0 = np.full((P, 3), -1, np.int32)
-        ENTV0 = np.zeros((P, 3), np.float32)
+        S0 = np.full((P, NST), NEG_INF, np.float32)
+        STF0 = np.zeros((P, NST), np.int32)
+        RW10 = np.zeros((P, NST), np.int32)
+        RW20 = np.full((P, NST), V, np.int32)   # V = "no history"
+        PRW0 = np.full((P, NST), -1, np.int32)
+        ENTV0 = np.zeros((P, NST), np.float32)
         if self.start_idx is not None:
             s_lm = self.lm.wid("<s>")
             S0[self.first_node[self.start_idx], 0] = 0.0

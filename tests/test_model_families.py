@@ -1,0 +1,95 @@
+"""Model-family coverage: semi-continuous (tidigits, 5-state, s2_4x
+features) and fully-continuous (an4) models — mirrors
+test-tidigits-fsg.sh and the an4_ci_cont fixtures."""
+
+import glob
+
+import numpy as np
+import pytest
+
+from pocketsphinx_tpu.models.acoustic import AcousticModel
+from pocketsphinx_tpu.models.dict2pid import Dict2Pid
+from pocketsphinx_tpu.fileio.dictionary import Dictionary
+from pocketsphinx_tpu.fileio import read_mfc
+from pocketsphinx_tpu.frontend.mfcc import MelFrontend
+from pocketsphinx_tpu.frontend.feat import compute_feats_typed
+from pocketsphinx_tpu.lm.fsg import FsgModel
+from pocketsphinx_tpu.search.fsg import FsgDecoder
+from pocketsphinx_tpu.search.align import Aligner
+
+from conftest import DATADIR
+
+TIDIGITS = DATADIR / "tidigits"
+AN4 = DATADIR / "an4_ci_cont"
+
+
+@pytest.mark.skipif(not TIDIGITS.is_dir(), reason="tidigits missing")
+def test_tidigits_semi_continuous_fsg():
+    am = AcousticModel.load(str(TIDIGITS / "hmm"))
+    assert am.model_type == "semi"
+    assert am.mdef.n_emit_state == 5
+    assert list(am.gauden.featlen) == [12, 24, 3, 12]
+    d = Dictionary(am.mdef, str(TIDIGITS / "lm" / "tidigits.dic"))
+    d2p = Dict2Pid(am.mdef, d)
+    fsg = FsgModel.readfile(str(TIDIGITS / "lm" / "tidigits.fsg"), lw=6.5)
+    dec = FsgDecoder(am, d2p, fsg)
+    expect = {}
+    match = TIDIGITS / "test-tidigits-fsg.match"
+    for line in match.read_text().splitlines():
+        words, rest = line.rsplit("(", 1)
+        expect[rest.split()[0]] = words.strip()
+    ok = tot = 0
+    for f in sorted(glob.glob(str(TIDIGITS / "man.ah.*.mfc")))[:8]:
+        fid = f.split("/")[-1][:-4]
+        feats, _ = compute_feats_typed(read_mfc(f), feat_type="s2_4x",
+                                       cmn="current")
+        hyp, _ = dec.decode(feats)
+        tot += 1
+        ok += (hyp == expect.get(fid))
+    # small residual differences vs the reference's pruned search are
+    # acceptable; the bulk must match its own hypotheses
+    assert ok / tot >= 0.8, f"{ok}/{tot}"
+
+
+@pytest.mark.skipif(not AN4.is_dir(), reason="an4 model missing")
+def test_an4_continuous_align():
+    am = AcousticModel.load(str(AN4))
+    assert am.model_type == "cont"
+    assert am.gauden.n_mgau == am.n_sen  # one codebook per senone
+    d = Dictionary(am.mdef, str(DATADIR / "turtle.dic"),
+                   str(AN4 / "noisedict"))
+    d2p = Dict2Pid(am.mdef, d)
+    pcm = np.frombuffer((DATADIR / "goforward.raw").read_bytes(),
+                        dtype="<i2")
+    cep = MelFrontend().process(pcm)
+    feats, fl = compute_feats_typed(cep, feat_type="1s_c_d_dd",
+                                    cmn="current")
+    assert feats.shape[1:] == (1, 39)
+    words, phones, states = Aligner(am, d2p).align(
+        feats, "go forward ten meters".split())
+    texts = [w.text for w in words if w.text != "<sil>"]
+    assert texts == ["go", "forward", "ten", "meters"]
+    # boundaries in the same neighborhood as the en-us model's
+    by = {w.text: w for w in words}
+    assert abs(by["go"].start - 46) <= 5
+    assert abs(by["meters"].start - 153) <= 6
+
+
+def test_s2_4x_feature_shape():
+    cep = np.random.RandomState(0).randn(50, 13).astype(np.float32)
+    feats, fl = compute_feats_typed(cep, feat_type="s2_4x", cmn="none")
+    assert feats.shape == (50, 4, 24)
+    assert fl == [12, 24, 3, 12]
+    # stream 0 = c1..c12
+    np.testing.assert_allclose(feats[:, 0, :12], cep[:, 1:], atol=1e-6)
+    # padding lanes zero
+    assert (feats[:, 0, 12:] == 0).all()
+    assert (feats[:, 2, 3:] == 0).all()
+
+
+def test_subvec_parse():
+    from pocketsphinx_tpu.frontend.feat import parse_subvecs
+    sv = parse_subvecs("0-12/13-25/26-38")
+    assert [len(s) for s in sv] == [13, 13, 13]
+    sv2 = parse_subvecs("24,0-11/25,12-23/26-38")
+    assert list(sv2[0]) == [24] + list(range(12))
