@@ -377,6 +377,35 @@ def _assemble(order, counts, words, levels) -> NgramModel:
                       lv_next=lv_next[:order])
 
 
+def write_arpa(model: NgramModel, path: str):
+    """ARPA text writer (ngram_model_trie_write_arpa equivalent)."""
+    inv = 1.0 / LOG10_TO_LOG
+
+    def fmt(v):
+        return f"{v * inv:.4f}"
+
+    # reconstruct full id tuples per level
+    paths = [[(w,) for w in range(model.counts[0])]]
+    for lvl in range(1, model.order):
+        par = model._parents(lvl)
+        paths.append([paths[lvl - 1][int(p)] + (int(w),)
+                      for p, w in zip(par, model.lv_words[lvl])])
+    with open(path, "w") as f:
+        f.write("\\data\\\n")
+        for i, c in enumerate(model.counts):
+            f.write(f"ngram {i + 1}={c}\n")
+        for lvl in range(model.order):
+            f.write(f"\n\\{lvl + 1}-grams:\n")
+            has_bo = lvl < model.order - 1
+            for i in range(len(model.lv_words[lvl])):
+                grams = " ".join(model.words[w] for w in paths[lvl][i])
+                line = f"{fmt(model.lv_prob[lvl][i])}\t{grams}"
+                if has_bo and model.lv_bo[lvl][i] != 0.0:
+                    line += f"\t{fmt(model.lv_bo[lvl][i])}"
+                f.write(line + "\n")
+        f.write("\n\\end\\\n")
+
+
 def read_trie_bin(path: str) -> NgramModel:
     """Decode the bit-packed *reverse* trie into forward-ordered levels.
 

@@ -220,26 +220,22 @@ class NgramFlatDecoder:
 
     # -- decode --------------------------------------------------------------
 
-    def decode(self, feats: np.ndarray, costs: np.ndarray | None = None):
-        """feats [T, F, L] -> (hyp string, list of Seg)."""
+    def _make_scan(self):
+        """Build (once) the jitted per-utterance scan: (costs [T, S],
+        valid [T]) -> per-frame records.  `valid` freezes the carry past
+        an utterance's true length so padded batches decode exactly like
+        unpadded single utterances."""
+        if getattr(self, "_scan_fn", None) is not None:
+            return self._scan_fn
         import jax
         import jax.numpy as jnp
-        from ..models.acoustic import senone_scores_jax
 
-        if costs is None:
-            costs = senone_scores_jax(
-                self.am.scoring_arrays, self.am.cb_groups,
-                np.asarray(feats)[None].astype(np.float32))[0]
-        costs = jnp.asarray(costs)
-        T = costs.shape[0]
         P, W, V = self.P, self.W, self.V
-
         NST = self.mdef.n_emit_state
-        sen = -costs[:, self.senid.reshape(-1)].reshape(T, P, NST)
+        senid_flat = jnp.asarray(self.senid.reshape(-1))
         tp = jnp.asarray(self.tp)
         chain_pred = jnp.asarray(np.maximum(self.chain_pred, 0))
         has_pred = jnp.asarray(self.chain_pred >= 0)
-        # word-entry nodes (chain_pred == -1): word index per entry node
         entry_nodes = np.nonzero(self.chain_pred < 0)[0]
         entry_words = self.node_word[entry_nodes]
         entry_nodes_j = jnp.asarray(entry_nodes)
@@ -257,7 +253,7 @@ class NgramFlatDecoder:
 
         def step(carry, xs):
             S, STF, RW1, RW2, PRW, ENTV = carry
-            sen_t, t = xs
+            sen_t, t, valid = xs
             newS, srcm, out, out_src = hmm_step(S, sen_t, tp)
 
             out_stf = hmm_out_meta(STF, out_src)
@@ -286,14 +282,13 @@ class NgramFlatDecoder:
                                                newENTV))
 
             # word exits
-            exg = out[exit_node]                          # [W(exit), W(next)]
+            exg = out[exit_node]                          # [W, W]
             eh1 = out_rw1[exit_node_sil]                  # [W]
             eh2 = out_rw2[exit_node_sil]
             estf = out_stf[exit_node_sil]
             eprw = out_prw[exit_node_sil]
             escore = out[exit_node_sil]
-            # pred-independent segment acoustic score (exit minus the
-            # entry value carried since word start) — the lattice link ascr
+            # pred-independent segment acoustics (lattice link ascr)
             eascr = escore - out_entv[exit_node_sil]
             lmrow = lm_cube[eh2, eh1]                     # [W, W]
             trans_real = exg + lmrow + (self.nwpen + self.pip)
@@ -323,8 +318,12 @@ class NgramFlatDecoder:
             m = jnp.max(newS)
             newS = newS - m
             newENTV = newENTV - m
+            newc = (newS, newSTF, newRW1, newRW2, newPRW, newENTV)
+            # freeze past the utterance end
+            newc = jax.tree.map(
+                lambda new, old: jnp.where(valid, new, old), newc, carry)
             rec = (escore, estf, eprw, eascr, eh1, eh2)
-            return (newS, newSTF, newRW1, newRW2, newPRW, newENTV), rec
+            return newc, rec
 
         S0 = np.full((P, NST), NEG_INF, np.float32)
         STF0 = np.zeros((P, NST), np.int32)
@@ -336,12 +335,58 @@ class NgramFlatDecoder:
             s_lm = self.lm.wid("<s>")
             S0[self.first_node[self.start_idx], 0] = 0.0
             RW10[self.first_node[self.start_idx], 0] = max(s_lm, 0)
-        carry0 = (jnp.asarray(S0), jnp.asarray(STF0), jnp.asarray(RW10),
-                  jnp.asarray(RW20), jnp.asarray(PRW0), jnp.asarray(ENTV0))
-        _, recs = jax.lax.scan(step, carry0,
-                               (sen, jnp.arange(T, dtype=jnp.int32)))
+        carry0 = tuple(jnp.asarray(x) for x in
+                       (S0, STF0, RW10, RW20, PRW0, ENTV0))
+
+        def scan_fn(costs, valid):
+            T = costs.shape[0]
+            sen = -costs[:, senid_flat].reshape(T, P, NST)
+            _, recs = jax.lax.scan(
+                step, carry0,
+                (sen, jnp.arange(T, dtype=jnp.int32), valid))
+            return recs
+
+        import jax as _jax
+        self._scan_fn = _jax.jit(scan_fn)
+        return self._scan_fn
+
+    def decode(self, feats: np.ndarray, costs: np.ndarray | None = None):
+        """feats [T, F, L] -> (hyp string, list of Seg)."""
+        import jax.numpy as jnp
+        from ..models.acoustic import senone_scores_jax
+
+        if costs is None:
+            costs = senone_scores_jax(
+                self.am.scoring_arrays, self.am.cb_groups,
+                np.asarray(feats)[None].astype(np.float32))[0]
+        costs = jnp.asarray(costs)
+        T = costs.shape[0]
+        recs = self._make_scan()(costs, jnp.ones(T, bool))
         self.records = tuple(np.asarray(r) for r in recs)
         return self._backtrace(self.records, T)
+
+    def decode_batch(self, feats, n_frames):
+        """Batched decode: feats [B, T, F, L] (padded), n_frames [B] ->
+        list of (hyp, segs).  Scoring + all scans run as one jitted
+        vmapped program; backtrace per utterance on the host."""
+        import jax
+        import jax.numpy as jnp
+        from ..models.acoustic import senone_scores_jax
+
+        feats = jnp.asarray(feats)
+        B, T = feats.shape[:2]
+        n_frames = jnp.asarray(n_frames)
+        costs = senone_scores_jax(self.am.scoring_arrays,
+                                  self.am.cb_groups, feats)
+        valid = jnp.arange(T)[None, :] < n_frames[:, None]
+        recs = jax.vmap(self._make_scan())(costs, valid)
+        recs = tuple(np.asarray(r) for r in recs)
+        out = []
+        nf = np.asarray(n_frames)
+        for b in range(B):
+            self.records = tuple(r[b] for r in recs)
+            out.append(self._backtrace(self.records, int(nf[b])))
+        return out
 
     def _backtrace(self, recs, T):
         escore, estf, eprw = [np.asarray(r) for r in recs[:3]]
