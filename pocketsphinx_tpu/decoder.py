@@ -231,6 +231,17 @@ class Decoder:
             return None
         return " ".join(self.am.mdef.ciname[p] for p in self.dict.pron(wid))
 
+    def update_mllr(self, mllr_or_path):
+        """ps_update_mllr: apply an MLLR transform to the loaded
+        Gaussians and refresh the scoring tables."""
+        from .models.mllr import Mllr
+        mllr = mllr_or_path
+        if isinstance(mllr_or_path, str):
+            mllr = Mllr.read(mllr_or_path)
+        mllr.transform(self.am.gauden, varfloor=self.config["varfloor"])
+        self.am.__dict__.pop("scoring_arrays", None)
+        return mllr
+
     # -- CMN state (ps_get_cmn / ps_set_cmn) ---------------------------------
 
     def get_cmn(self) -> str:
