@@ -77,3 +77,25 @@ def read_sen(path: str):
         frames.append(scores)
         actives.append(act)
     return np.array(frames), np.array(actives), logbase
+
+
+def write_sen(path: str, scores: np.ndarray, logbase: float = 1.0001,
+              mdef_file: str = "none"):
+    """Write an all-senone score dump in the reference's -senlogdir
+    format (acmod_write_senfh_header + acmod_write_scores,
+    src/acmod.c:334-918): s3 header, then per frame int16 n_active
+    followed by int16 scores (all senones active)."""
+    scores = np.asarray(scores)
+    n_sen = scores.shape[1]
+    with open(path, "wb") as f:
+        f.write(b"s3\n")
+        f.write(b"version 0.1\n")
+        f.write(f"mdef_file {mdef_file}\n".encode())
+        f.write(f"n_sen {n_sen}\n".encode())
+        f.write(f"logbase {logbase:f}\n".encode())
+        f.write(b"endhdr\n")
+        f.write(np.array([0x11223344], dtype="<u4").tobytes())
+        clipped = np.clip(np.rint(scores), -32768, 32767).astype("<i2")
+        for t in range(scores.shape[0]):
+            f.write(np.array([n_sen], dtype="<i2").tobytes())
+            f.write(clipped[t].tobytes())

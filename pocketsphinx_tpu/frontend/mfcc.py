@@ -48,23 +48,57 @@ MU_T = 0.2
 MAX_GAIN = 20.0
 
 
-def _mel(hz: np.ndarray | float) -> np.ndarray:
+def make_warp(warp_type: str | None, warp_params: str | None):
+    """VTLN frequency warp functions (src/fe/fe_warp*.c): returns
+    (unwarped_to_warped, warped_to_unwarped) callables."""
+    params = [float(x) for x in warp_params.split()] if warp_params else []
+    if warp_type in (None, "", "none") or not params:
+        return (lambda x: x), (lambda x: x)
+    if warp_type == "affine":
+        a = params[0]
+        b = params[1] if len(params) > 1 else 0.0
+        return (lambda x: a * x + b), (lambda x: (x - b) / a)
+    if warp_type == "inverse_linear" or warp_type == "inverse":
+        a = params[0]
+        return (lambda x: x / a), (lambda x: x * a)
+    if warp_type == "piecewise_linear":
+        # warp by a below f0, continuous linear above (fe_warp_piecewise)
+        a = params[0]
+        f0 = params[1] if len(params) > 1 else 6800.0
+        def fwd(x):
+            return x * a if x < f0 else f0 * a + (x - f0)
+        def inv(x):
+            return x / a if x < f0 * a else f0 + (x - f0 * a)
+        return fwd, inv
+    raise ValueError(f"unknown warp type {warp_type!r}")
+
+
+def _mel(hz: np.ndarray | float, warp=None) -> np.ndarray:
+    if warp is not None:
+        hz = warp(float(hz))
     return np.float32(2595.0 * np.log10(1.0 + np.float64(hz) / 700.0))
 
 
-def _melinv(m: np.ndarray | float) -> np.ndarray:
-    return np.float32(700.0 * (np.power(10.0, np.float64(m) / 2595.0) - 1.0))
+def _melinv(m: np.ndarray | float, unwarp=None) -> np.ndarray:
+    hz = np.float32(700.0 * (np.power(10.0, np.float64(m) / 2595.0) - 1.0))
+    if unwarp is not None:
+        hz = np.float32(unwarp(float(hz)))
+    return hz
 
 
 def build_mel_filterbank(samprate: float, nfft: int, nfilt: int,
                          lowerf: float, upperf: float,
                          doublewide: bool = False,
                          round_filters: bool = True,
-                         unit_area: bool = True) -> np.ndarray:
+                         unit_area: bool = True,
+                         warp_type: str | None = None,
+                         warp_params: str | None = None) -> np.ndarray:
     """Dense triangular mel filterbank [nfft//2+1, nfilt] float32,
-    reproducing fe_build_melfilters' float32 frequency arithmetic."""
-    melmin = np.float32(_mel(lowerf))
-    melmax = np.float32(_mel(upperf))
+    reproducing fe_build_melfilters' float32 frequency arithmetic
+    (with optional VTLN warping)."""
+    warp, unwarp = make_warp(warp_type, warp_params)
+    melmin = np.float32(_mel(lowerf, warp))
+    melmax = np.float32(_mel(upperf, warp))
     melbw = np.float32((melmax - melmin) / np.float32(nfilt + 1))
     if doublewide:
         melmin = np.float32(melmin - melbw)
@@ -76,7 +110,8 @@ def build_mel_filterbank(samprate: float, nfft: int, nfilt: int,
         freqs = []
         for j in range(3):
             step = (i + j * 2) if doublewide else (i + j)
-            f = _melinv(np.float32(np.float32(step) * melbw + melmin))
+            f = _melinv(np.float32(np.float32(step) * melbw + melmin),
+                        unwarp)
             if round_filters:
                 f = np.float32(int(f / fftfreq + 0.5) * fftfreq)
             freqs.append(np.float32(f))
@@ -149,6 +184,8 @@ class MelFrontend:
     transform: str = "legacy"
     lifter_val: int = 0
     doublewide: bool = False
+    warp_type: str | None = None
+    warp_params: str | None = None
     remove_dc: bool = False
     remove_noise: bool = True
     round_filters: bool = True
@@ -170,7 +207,8 @@ class MelFrontend:
             else np.concatenate([half, [1.0], half[::-1]])
         self.mel_fb = build_mel_filterbank(
             self.samprate, self.nfft, self.nfilt, self.lowerf, self.upperf,
-            self.doublewide, self.round_filters, self.unit_area)
+            self.doublewide, self.round_filters, self.unit_area,
+            self.warp_type, self.warp_params)
         self.dct = build_dct(self.nfilt, self.ncep, self.transform)
         self.lifter = build_lifter(self.ncep, self.lifter_val)
 
@@ -191,6 +229,8 @@ class MelFrontend:
             round_filters=bool(config["round_filters"]),
             unit_area=bool(config["unit_area"]),
             logspec=bool(config["logspec"]),
+            warp_type=config["warp_type"],
+            warp_params=config["warp_params"],
         )
 
     # ------------------------------------------------------------------

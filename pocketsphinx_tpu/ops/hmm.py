@@ -75,3 +75,61 @@ def out_meta(meta, out_src):
     """Metadata of the exit's source state: [..., N] -> [...]."""
     import jax.numpy as jnp
     return jnp.take_along_axis(meta, out_src[..., None], axis=-1)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# State-major variant: TPU-efficient layout
+# ---------------------------------------------------------------------------
+#
+# The [..., N]-trailing layout above puts the tiny state axis on the TPU
+# lane dimension, padding N=3 to 128 lanes (~40x wasted VPU work per op in
+# the per-frame scan).  The state-major variant keeps every per-state
+# plane as its own [...]-shaped array (P on lanes) and replaces gathers
+# with where-selects, which is what the hot decoders use.
+
+def hmm_step_sm(S, sen_t, tp, metas=()):
+    """State-major Viterbi step.
+
+    S      tuple of N arrays [...]: per-state scores
+    sen_t  tuple of N arrays [...]: senone goodness increments
+    tp     [..., N, N+1] transition goodness (indexed statically)
+    metas  list of tuples-of-N metadata arrays to propagate alongside
+
+    Returns (newS tuple, new_metas list, out, out_sel bool [...]
+    (True = exit came from state N-1), out_metas list of [...]).
+    Tie semantics identical to hmm_step / hmm_vit_eval.
+    """
+    import jax.numpy as jnp
+
+    N = len(S)
+    s = [S[j] + sen_t[j] for j in range(N)]
+    # exit: priority N-2 over N-1 on ties
+    lo = s[N - 2] + tp[..., N - 2, N]
+    hi = s[N - 1] + tp[..., N - 1, N]
+    hi_wins = hi > lo
+    out = jnp.where(hi_wins, hi, lo)
+    out_metas = [jnp.where(hi_wins, m[N - 1], m[N - 2]) for m in metas]
+
+    newS = [None] * N
+    new_metas = [[None] * N for _ in metas]
+    for j in range(N - 1, 0, -1):
+        prev = s[j - 1] + tp[..., j - 1, j]
+        self_ = s[j] + tp[..., j, j]
+        # priority: from(j-1) > self > skip(j-2)
+        best = jnp.maximum(prev, self_)
+        take_self = self_ > prev
+        if j >= 2:
+            skip = s[j - 2] + tp[..., j - 2, j]
+            take_skip = skip > best
+            best = jnp.where(take_skip, skip, best)
+        newS[j] = best
+        for mi, m in enumerate(metas):
+            v = jnp.where(take_self, m[j], m[j - 1])
+            if j >= 2:
+                v = jnp.where(take_skip, m[j - 2], v)
+            new_metas[mi][j] = v
+    newS[0] = s[0] + tp[..., 0, 0]
+    for mi, m in enumerate(metas):
+        new_metas[mi][0] = m[0]
+    return tuple(newS), [tuple(nm) for nm in new_metas], out, hi_wins, \
+        out_metas

@@ -224,22 +224,28 @@ class NgramFlatDecoder:
         """Build (once) the jitted per-utterance scan: (costs [T, S],
         valid [T]) -> per-frame records.  `valid` freezes the carry past
         an utterance's true length so padded batches decode exactly like
-        unpadded single utterances."""
+        unpadded single utterances.
+
+        State tensors are *state-major* ([P] per emitting state) so the
+        big P axis sits on TPU lanes; the tiny state axis is unrolled
+        (see ops/hmm.py hmm_step_sm)."""
         if getattr(self, "_scan_fn", None) is not None:
             return self._scan_fn
         import jax
         import jax.numpy as jnp
+        from ..ops.hmm import hmm_step_sm
 
         P, W, V = self.P, self.W, self.V
         NST = self.mdef.n_emit_state
         senid_flat = jnp.asarray(self.senid.reshape(-1))
-        tp = jnp.asarray(self.tp)
+        tp = jnp.asarray(self.tp)                      # [P, NST, NST+1]
         chain_pred = jnp.asarray(np.maximum(self.chain_pred, 0))
         has_pred = jnp.asarray(self.chain_pred >= 0)
         entry_nodes = np.nonzero(self.chain_pred < 0)[0]
         entry_words = self.node_word[entry_nodes]
-        entry_nodes_j = jnp.asarray(entry_nodes)
-        entry_words_j = jnp.asarray(entry_words)
+        # dense entry map: for each node, its word if it is an entry node
+        entry_mask = jnp.asarray(self.chain_pred < 0)
+        node_word_j = jnp.asarray(self.node_word)
         exit_node = jnp.asarray(self.exit_node)        # [W, W]
         exit_node_sil = jnp.asarray(self.exit_node_sil)
         lm_cube = jnp.asarray(self._lm_cube())         # [V+1, V, W]
@@ -252,102 +258,93 @@ class NgramFlatDecoder:
             self.silpen, self.fillpen)
 
         def step(carry, xs):
-            S, STF, RW1, RW2, PRW, ENTV = carry
-            sen_t, t, valid = xs
-            newS, srcm, out, out_src = hmm_step(S, sen_t, tp)
-
-            out_stf = hmm_out_meta(STF, out_src)
-            out_rw1 = hmm_out_meta(RW1, out_src)
-            out_rw2 = hmm_out_meta(RW2, out_src)
-            out_prw = hmm_out_meta(PRW, out_src)
-            out_entv = hmm_out_meta(ENTV, out_src)
-            newSTF = propagate_meta(STF, srcm)
-            newRW1 = propagate_meta(RW1, srcm)
-            newRW2 = propagate_meta(RW2, srcm)
-            newPRW = propagate_meta(PRW, srcm)
-            newENTV = propagate_meta(ENTV, srcm)
+            S, STF, RW1, RW2, PRW, ENTV = carry        # tuples of [P]
+            sen_t, t, valid = xs                       # sen_t: [NST, P]
+            newS, (nSTF, nRW1, nRW2, nPRW, nENTV), out, _, \
+                (o_stf, o_rw1, o_rw2, o_prw, o_entv) = hmm_step_sm(
+                    S, tuple(sen_t[j] for j in range(NST)), tp,
+                    metas=(STF, RW1, RW2, PRW, ENTV))
             # intra-word chain entry (from predecessor phone's exit)
             chain_entry = jnp.where(has_pred, out[chain_pred] + self.pip,
                                     NEG_INF)
-            ch_win = chain_entry > newS[:, 0]
+            ch_win = chain_entry > newS[0]
 
-            def chw(new, old):
-                return jnp.where(ch_win, new, old[:, 0])
-            newS = newS.at[:, 0].set(chw(chain_entry, newS))
-            newSTF = newSTF.at[:, 0].set(chw(out_stf[chain_pred], newSTF))
-            newRW1 = newRW1.at[:, 0].set(chw(out_rw1[chain_pred], newRW1))
-            newRW2 = newRW2.at[:, 0].set(chw(out_rw2[chain_pred], newRW2))
-            newPRW = newPRW.at[:, 0].set(chw(out_prw[chain_pred], newPRW))
-            newENTV = newENTV.at[:, 0].set(chw(out_entv[chain_pred],
-                                               newENTV))
+            def chw(newv, oldv):
+                return jnp.where(ch_win, newv[chain_pred], oldv)
+            s0 = jnp.where(ch_win, chain_entry, newS[0])
+            stf0 = chw(o_stf, nSTF[0])
+            rw10 = chw(o_rw1, nRW1[0])
+            rw20 = chw(o_rw2, nRW2[0])
+            prw0 = chw(o_prw, nPRW[0])
+            entv0 = chw(o_entv, nENTV[0])
 
             # word exits
             exg = out[exit_node]                          # [W, W]
-            eh1 = out_rw1[exit_node_sil]                  # [W]
-            eh2 = out_rw2[exit_node_sil]
-            estf = out_stf[exit_node_sil]
-            eprw = out_prw[exit_node_sil]
+            eh1 = o_rw1[exit_node_sil]                    # [W]
+            eh2 = o_rw2[exit_node_sil]
+            estf = o_stf[exit_node_sil]
+            eprw = o_prw[exit_node_sil]
             escore = out[exit_node_sil]
-            # pred-independent segment acoustics (lattice link ascr)
-            eascr = escore - out_entv[exit_node_sil]
+            eascr = escore - o_entv[exit_node_sil]
             lmrow = lm_cube[eh2, eh1]                     # [W, W]
-            trans_real = exg + lmrow + (self.nwpen + self.pip)
-            trans_fill = exg + fillpen_w[None, :]
-            trans = jnp.where(is_fill[None, :], trans_fill, trans_real)
+            trans = jnp.where(is_fill[None, :],
+                              exg + fillpen_w[None, :],
+                              exg + lmrow + (self.nwpen + self.pip))
             ent_src = jnp.argmax(trans, axis=0)           # [W]
             entry = jnp.max(trans, axis=0)
             src_rw1 = eh1[ent_src]
             src_rw2 = eh2[ent_src]
             new_rw1 = jnp.where(is_real, lm_wid, src_rw1)
             new_rw2 = jnp.where(is_real, src_rw1, src_rw2)
-            # apply entries at every entry node of each word
-            en, ew = entry_nodes_j, entry_words_j
-            cur0 = newS[en, 0]
-            e_here = entry[ew]
-            ewin_nodes = e_here > cur0
-
-            def apply(Mnew, vals):
-                return Mnew.at[en, 0].set(
-                    jnp.where(ewin_nodes, vals, Mnew[en, 0]))
-            newS = apply(newS, e_here)
-            newSTF = apply(newSTF, t + 1)
-            newRW1 = apply(newRW1, new_rw1[ew])
-            newRW2 = apply(newRW2, new_rw2[ew])
-            newPRW = apply(newPRW, ent_src[ew])
-            newENTV = apply(newENTV, e_here)
-            m = jnp.max(newS)
-            newS = newS - m
-            newENTV = newENTV - m
-            newc = (newS, newSTF, newRW1, newRW2, newPRW, newENTV)
-            # freeze past the utterance end
+            # apply word entries at entry nodes (dense per-node select)
+            e_node = entry[node_word_j]                   # [P]
+            ewin = entry_mask & (e_node > s0)
+            s0 = jnp.where(ewin, e_node, s0)
+            stf0 = jnp.where(ewin, t + 1, stf0)
+            rw10 = jnp.where(ewin, new_rw1[node_word_j], rw10)
+            rw20 = jnp.where(ewin, new_rw2[node_word_j], rw20)
+            prw0 = jnp.where(ewin, ent_src[node_word_j], prw0)
+            entv0 = jnp.where(ewin, e_node, entv0)
+            newS = (s0,) + newS[1:]
+            m = jnp.maximum(jnp.max(jnp.stack([jnp.max(x) for x in newS])),
+                            NEG_INF)
+            newS = tuple(x - m for x in newS)
+            nENTV = (entv0 - m,) + tuple(x - m for x in nENTV[1:])
+            nSTF = (stf0,) + nSTF[1:]
+            nRW1 = (rw10,) + nRW1[1:]
+            nRW2 = (rw20,) + nRW2[1:]
+            nPRW = (prw0,) + nPRW[1:]
+            newc = (newS, nSTF, nRW1, nRW2, nPRW, nENTV)
             newc = jax.tree.map(
                 lambda new, old: jnp.where(valid, new, old), newc, carry)
             rec = (escore, estf, eprw, eascr, eh1, eh2)
             return newc, rec
 
-        S0 = np.full((P, NST), NEG_INF, np.float32)
-        STF0 = np.zeros((P, NST), np.int32)
-        RW10 = np.zeros((P, NST), np.int32)
-        RW20 = np.full((P, NST), V, np.int32)   # V = "no history"
-        PRW0 = np.full((P, NST), -1, np.int32)
-        ENTV0 = np.zeros((P, NST), np.float32)
+        S0 = np.full((NST, P), NEG_INF, np.float32)
+        STF0 = np.zeros((NST, P), np.int32)
+        RW10 = np.zeros((NST, P), np.int32)
+        RW20 = np.full((NST, P), V, np.int32)   # V = "no history"
+        PRW0 = np.full((NST, P), -1, np.int32)
+        ENTV0 = np.zeros((NST, P), np.float32)
         if self.start_idx is not None:
             s_lm = self.lm.wid("<s>")
-            S0[self.first_node[self.start_idx], 0] = 0.0
-            RW10[self.first_node[self.start_idx], 0] = max(s_lm, 0)
-        carry0 = tuple(jnp.asarray(x) for x in
-                       (S0, STF0, RW10, RW20, PRW0, ENTV0))
+            S0[0, self.first_node[self.start_idx]] = 0.0
+            RW10[0, self.first_node[self.start_idx]] = max(s_lm, 0)
+        carry0 = tuple(
+            tuple(jnp.asarray(arr[j]) for j in range(NST))
+            for arr in (S0, STF0, RW10, RW20, PRW0, ENTV0))
 
         def scan_fn(costs, valid):
             T = costs.shape[0]
+            # [T, NST, P]: state-major senone goodness
             sen = -costs[:, senid_flat].reshape(T, P, NST)
+            sen = jnp.moveaxis(sen, 2, 1)
             _, recs = jax.lax.scan(
                 step, carry0,
                 (sen, jnp.arange(T, dtype=jnp.int32), valid))
             return recs
 
-        import jax as _jax
-        self._scan_fn = _jax.jit(scan_fn)
+        self._scan_fn = jax.jit(scan_fn)
         return self._scan_fn
 
     def decode(self, feats: np.ndarray, costs: np.ndarray | None = None):
