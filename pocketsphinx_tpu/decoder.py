@@ -114,6 +114,13 @@ class Decoder:
         elif mode == "allphone":
             self.add_allphone("_default", config["allphone"])
             self.activate_search("_default")
+        elif mode == "lmctl":
+            from .lm.lmset import NgramModelSet
+            self.lmset = NgramModelSet.read_lmctl(
+                config["lmctl"], lw=config["lw"], wip=config["wip"])
+            for name in self.lmset.models:
+                self.add_lm(name, self.lmset.models[name])
+            self.activate_search(config["lmname"] or self.lmset.active)
 
     # -- search management (include/pocketsphinx/search.h) -------------------
 
@@ -278,7 +285,32 @@ class Decoder:
             cmn=self.config["cmn"], cmn_state=self.cmn_state,
             agc=self.config["agc"], varnorm=self.config["varnorm"])
         self._feats = feats
+        self._write_logs(pcm, cep)
         self._decode(feats)
+
+    def _write_logs(self, pcm, cep):
+        """Per-utterance trace seams: -rawlogdir/-mfclogdir/-senlogdir
+        (src/pocketsphinx.c:1124-1163, acmod dump formats)."""
+        import os
+        uttid = f"{getattr(self, '_uttno', 0):09d}"
+        self._uttno = getattr(self, "_uttno", 0) + 1
+        if self.config["rawlogdir"]:
+            with open(os.path.join(self.config["rawlogdir"],
+                                   uttid + ".raw"), "wb") as f:
+                f.write(np.asarray(pcm, dtype="<i2").tobytes())
+        if self.config["mfclogdir"]:
+            from .fileio.mfc import write_mfc
+            write_mfc(os.path.join(self.config["mfclogdir"],
+                                   uttid + ".mfc"), cep)
+        if self.config["senlogdir"]:
+            from .fileio.mfc import write_sen
+            from .models.acoustic import senone_scores_jax
+            costs = np.asarray(senone_scores_jax(
+                self.am.scoring_arrays, self.am.cb_groups,
+                self._feats[None].astype(np.float32))[0])
+            write_sen(os.path.join(self.config["senlogdir"],
+                                   uttid + ".sen"), costs,
+                      mdef_file=self.config["mdef"] or "none")
 
     def decode_raw(self, data) -> Hypothesis | None:
         self.start_utt()

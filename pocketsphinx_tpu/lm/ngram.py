@@ -253,11 +253,17 @@ def read_lm(path: str, lw: float = 1.0, wip: float = 1.0) -> NgramModel:
     """Auto-detecting LM reader (trie binary or ARPA, possibly
     compressed), mirroring ngram_model_read's format dispatch."""
     with _open_maybe_compressed(path) as f:
-        head = f.read(20)
+        head = f.read(24)
     if head.startswith(b"Trie Language Model"):
         m = read_trie_bin(path)
+    elif head[4:20] == b"Darpa Trigram LM" or head[4:20] == \
+            b"Darpa Trigram LM"[::-1]:
+        m = read_dmp(path)
     else:
-        m = read_arpa(path)
+        try:
+            m = read_arpa(path)
+        except ValueError:
+            m = read_dmp(path)
     return m.apply_weights(lw, wip)
 
 
@@ -404,6 +410,119 @@ def write_arpa(model: NgramModel, path: str):
                     line += f"\t{fmt(model.lv_bo[lvl][i])}"
                 f.write(line + "\n")
         f.write("\n\\end\\\n")
+
+
+def read_dmp(path: str) -> NgramModel:
+    """Legacy Sphinx DMP ("Darpa Trigram LM") binary reader
+    (ngram_model_trie_read_dmp, src/lm/ngram_model_trie.c:489-690 +
+    ngrams_raw_read_dmp, src/lm/ngrams_raw.c:236-360).
+
+    Layout: u32 hdrlen + "Darpa Trigram LM\\0", u32 namelen + name,
+    i32 version (<=0 => i32 timestamp + length-prefixed format strings
+    until 0), i32 ucount/bcount/tcount; (ucount+1) x {i32 mapid,
+    f32 log10 prob, f32 log10 bo, i32 first_bigram}; (bcount+1) x
+    {u16 wid, prob_idx, bo_idx, next}; tcount x {u16 wid, prob_idx};
+    f32 tables for prob2/bo2/prob3 (i32 len + values); i32 tseg_len +
+    i32 tseg_base[]; NUL-separated word strings (i32 len prefix)."""
+    with _open_maybe_compressed(path) as f:
+        data = f.read()
+    hdr = b"Darpa Trigram LM"
+    k = int(np.frombuffer(data, "<u4", 1, 0)[0])
+    en = "<"
+    if k != len(hdr) + 1:
+        k = int(np.frombuffer(data, ">u4", 1, 0)[0])
+        if k != len(hdr) + 1:
+            raise ValueError(f"{path}: not a DMP file")
+        en = ">"
+    pos = 4
+    if data[pos:pos + len(hdr)] != hdr:
+        raise ValueError(f"{path}: bad DMP header")
+    pos += k
+
+    def rd_i32():
+        nonlocal pos
+        v = int(np.frombuffer(data, en + "i4", 1, pos)[0])
+        pos += 4
+        return v
+
+    k = rd_i32()
+    pos += k            # LM file name
+    vn = rd_i32()
+    if vn <= 0:
+        rd_i32()        # timestamp
+        while True:
+            k = rd_i32()
+            if k == 0:
+                break
+            pos += k
+        ucount = rd_i32()
+    else:
+        ucount = vn
+    bcount = rd_i32()
+    tcount = rd_i32()
+    order = 3 if tcount else (2 if bcount else 1)
+    counts = [ucount, bcount, tcount][:order]
+    # unigrams (ucount + 1 incl. sentinel)
+    uni = np.frombuffer(data, np.dtype([("mapid", en + "i4"),
+                                        ("prob", en + "f4"),
+                                        ("bo", en + "f4"),
+                                        ("next", en + "i4")]),
+                        ucount + 1, pos)
+    pos += 16 * (ucount + 1)
+    # bigrams (+ sentinel)
+    bg = np.frombuffer(data, np.dtype([("wid", en + "u2"),
+                                       ("p", en + "u2"),
+                                       ("b", en + "u2"),
+                                       ("next", en + "u2")]),
+                       bcount + 1 if bcount else 0, pos)
+    pos += 8 * len(bg)
+    tg = np.frombuffer(data, np.dtype([("wid", en + "u2"),
+                                       ("p", en + "u2")]),
+                       tcount, pos)
+    pos += 4 * tcount
+
+    def read_table():
+        nonlocal pos
+        k = rd_i32()
+        arr = np.frombuffer(data, en + "f4", k, pos).astype(np.float64)
+        pos += 4 * k
+        return arr * LOG10_TO_LOG
+
+    levels: list[list] = [[] for _ in range(order)]
+    for w in range(ucount):
+        levels[0].append(((w,), float(uni["prob"][w]) * LOG10_TO_LOG,
+                          float(uni["bo"][w]) * LOG10_TO_LOG))
+    if order > 1:
+        prob2 = read_table()
+        bo2 = read_table() if order > 2 else np.zeros(0)
+        prob3 = read_table() if order > 2 else np.zeros(0)
+        # bigram parents from unigram next pointers
+        unext = uni["next"].astype(np.int64)
+        par = np.zeros(bcount, np.int64)
+        for u in range(ucount):
+            par[unext[u]:unext[u + 1]] = u
+        for j in range(bcount):
+            p = float(prob2[bg["p"][j]])
+            b = float(bo2[bg["b"][j]]) if order > 2 else 0.0
+            levels[1].append(((int(par[j]), int(bg["wid"][j])), p, b))
+        if order > 2:
+            k = rd_i32()
+            tseg = np.frombuffer(data, en + "i4", k, pos).astype(np.int64)
+            pos += 4 * k
+            tnext = tseg[np.arange(bcount + 1) >> 9] \
+                + bg["next"].astype(np.int64)
+            tpar = np.zeros(tcount, np.int64)
+            for j in range(bcount):
+                tpar[tnext[j]:tnext[j + 1]] = j
+            for i in range(tcount):
+                j = int(tpar[i])
+                ids = (int(par[j]), int(bg["wid"][j]), int(tg["wid"][i]))
+                levels[2].append((ids, float(prob3[tg["p"][i]]), 0.0))
+    # word strings
+    k = rd_i32()
+    words = [w.decode("utf-8", errors="replace")
+             for w in data[pos:pos + k].split(b"\0")[:ucount]]
+    return _assemble(order, counts, words, levels)
 
 
 def read_trie_bin(path: str) -> NgramModel:
