@@ -50,7 +50,7 @@ def main():
     fe = MelFrontend(nfilt=25, lowerf=130, upperf=6800, transform="dct",
                      lifter_val=22, remove_noise=True)
     pcm = np.frombuffer(open(raw, "rb").read(), dtype="<i2")
-    B = int(os.environ.get("BENCH_BATCH", "16"))
+    B = int(os.environ.get("BENCH_BATCH", "256"))
     batch = np.tile(pcm[None, :], (B, 1)).astype(np.float32)
     audio_seconds = B * len(pcm) / 16000.0
 
@@ -65,7 +65,7 @@ def main():
         microseconds per utterance)."""
         cep, nfr = fe.process_batch_jax(pcm_batch)
         feats = compute_feats_jax(cep, nfr, cmn="batch")
-        costs = senone_scores_jax(arrays, groups, feats)
+        costs = senone_scores_jax(arrays, groups, feats, time_chunk=16)
         T = costs.shape[1]
         valid = jnp.arange(T)[None, :] < nfr[:, None]
         recs = jax.vmap(scan)(costs, valid)

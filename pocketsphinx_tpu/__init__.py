@@ -32,4 +32,19 @@ def _enable_compilation_cache():
         pass
 
 
+def _select_device():
+    """Optional device pinning: PS_TPU_DEVICE=cpu forces the host
+    platform (useful for tests or when the accelerator is busy);
+    unset = JAX default."""
+    plat = _os.environ.get("PS_TPU_DEVICE")
+    if not plat:
+        return
+    try:
+        import jax
+        jax.config.update("jax_default_device", jax.devices(plat)[0])
+    except Exception:
+        pass
+
+
 _enable_compilation_cache()
+_select_device()

@@ -11,7 +11,7 @@ import sys
 
 import numpy as np
 
-from .config import Config, PARAMS
+from .config import Config
 from .decoder import Decoder
 from .fileio.sound import read_audio
 
@@ -94,6 +94,14 @@ def output_align(decoder, phone_align, state_align, stream=sys.stdout):
 
 
 def main(argv=None):
+    try:
+        return _main(argv)
+    except (FileNotFoundError, KeyError, ValueError, RuntimeError) as e:
+        sys.stderr.write(f"ERROR: {e}\n")
+        return 1
+
+
+def _main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     opts, rest = _split_args(argv)
     if not rest:

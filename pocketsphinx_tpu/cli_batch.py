@@ -56,6 +56,14 @@ def read_utt(config: Config, uttid: str):
 
 
 def main(argv=None):
+    try:
+        return _main(argv)
+    except (FileNotFoundError, KeyError, ValueError, RuntimeError) as e:
+        sys.stderr.write(f"ERROR: {e}\n")
+        return 1
+
+
+def _main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     config = Config()
     try:

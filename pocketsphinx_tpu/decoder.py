@@ -13,7 +13,7 @@ The Python API mirrors the reference Cython binding's Decoder class
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -23,7 +23,6 @@ from .frontend.mfcc import MelFrontend
 from .frontend.feat import compute_feats, CmnLive
 from .models.acoustic import AcousticModel
 from .models.dict2pid import Dict2Pid
-from .logmath import SENSCR_SHIFT, ln_to_logunits
 
 
 @dataclass

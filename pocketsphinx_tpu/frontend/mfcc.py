@@ -32,7 +32,7 @@ Equivalences to the reference (file:line):
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -135,9 +135,13 @@ class AcousticModel:
 
 
 def senone_scores_jax(model_arrays: dict, cb_groups: dict, feats,
-                      topn: int = 4):
+                      topn: int = 4, time_chunk: int | None = None):
     """Batched senone scoring: feats [B, T, F, L] float32 ->
     costs [B, T, n_sen] float32 (shifted units, 0 = per-frame best).
+
+    time_chunk: process T in chunks of this many frames (lax.map) to
+    bound the [B, chunk, CB, F, Smax] mixture intermediate — required
+    for large batches (it grows ~1 MB per frame per utterance on en-us).
 
     topn > 0 (default 4): reference-style per-(codebook, stream) top-N
     density shortlist, realized as a mask on the dense matmul — closest
@@ -153,6 +157,20 @@ def senone_scores_jax(model_arrays: dict, cb_groups: dict, feats,
     """
     import jax
     import jax.numpy as jnp
+
+    if time_chunk:
+        feats = jnp.asarray(feats)
+        B, T = feats.shape[:2]
+        n_chunks = -(-T // time_chunk)
+        pad = n_chunks * time_chunk - T
+        fpad = jnp.pad(feats, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        chunks = fpad.reshape(B, n_chunks, time_chunk,
+                              *feats.shape[2:]).swapaxes(0, 1)
+        out = jax.lax.map(
+            lambda fc: senone_scores_jax(model_arrays, cb_groups, fc,
+                                         topn=topn), chunks)
+        out = out.swapaxes(0, 1).reshape(B, n_chunks * time_chunk, -1)
+        return out[:, :T]
 
     hp = jax.lax.Precision.HIGHEST
     prec = jnp.asarray(model_arrays["prec"])        # [CB,F,D,L]

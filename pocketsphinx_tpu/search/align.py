@@ -30,7 +30,7 @@ import numpy as np
 
 from ..models.dict2pid import Dict2Pid
 from ..models.acoustic import AcousticModel, UNIT_NATS
-from ..ops.hmm import hmm_step, propagate_meta, out_meta as hmm_out_meta
+from ..ops.hmm import hmm_step
 
 NEG_INF = -1e30
 MAX_PREDS = 8

@@ -75,43 +75,77 @@ class Lattice:
         thresh = math.log(beam) / LN_BASE_SHIFTED  # shifted units (<0)
         d = dec.dict
         words = dec.words
-        # plausible exits: valid and within `thresh` of the frame's best
-        best_per_frame = escore.max(axis=1, keepdims=True)
-        ok = (escore >= best_per_frame + thresh) & (escore > NEG_INF / 2)
-        node_of: dict[tuple[int, int], int] = {}
-
-        def get_node(w: int, sf: int) -> int:
-            key = (w, sf)
-            if key not in node_of:
-                wid = words[w]
-                n = LatNode(word=d.wordstr(wid), base=d.basestr(wid),
-                            sf=sf, is_fill=d.is_filler(wid),
-                            id=len(lat.nodes))
-                lat.nodes.append(n)
-                node_of[key] = n.id
-            return node_of[key]
-
-        # ends[t] = list of (node_id, ascr) for exits at frame t
+        # plausible exits: valid and within `thresh` of the frame's best.
+        # The O(T x W) scan + link enumeration runs natively when the C
+        # extension is available (native/ps_native.c), else in Python.
         ends: list[list[tuple[int, float]]] = [[] for _ in range(T)]
-        for t in range(T):
-            for w in np.nonzero(ok[t])[0]:
-                sf = int(estf[t, w])
-                if sf > t:
-                    continue
-                nid = get_node(int(w), sf)
-                ends[t].append((nid, float(eascr[t, w])))
-        # links: exits at t feed nodes starting at t+1
-        starts: dict[int, list[int]] = {}
-        for nid, n in enumerate(lat.nodes):
-            starts.setdefault(n.sf, []).append(nid)
-        for t in range(T - 1):
-            for nid, ascr in ends[t]:
-                for dst in starts.get(t + 1, ()):
-                    link = LatLink(src=nid, dst=dst, ef=t, ascr=ascr)
-                    lid = len(lat.links)
-                    lat.links.append(link)
-                    lat.nodes[nid].exits.append(lid)
-                    lat.nodes[dst].entries.append(lid)
+        try:
+            from .. import ps_native
+            nk, lk, la = ps_native.lattice_scan(
+                np.ascontiguousarray(escore, np.float32),
+                np.ascontiguousarray(estf, np.int32),
+                np.ascontiguousarray(eascr, np.float32), float(thresh))
+            node_arr = np.frombuffer(nk, np.int64).reshape(-1, 2)
+            link_arr = np.frombuffer(lk, np.int64).reshape(-1, 3)
+            la = np.frombuffer(la, np.float32)
+            for w, sf in node_arr:
+                wid = words[int(w)]
+                lat.nodes.append(LatNode(
+                    word=d.wordstr(wid), base=d.basestr(wid), sf=int(sf),
+                    is_fill=d.is_filler(wid), id=len(lat.nodes)))
+            for li in range(len(link_arr)):
+                src, dst, ef = (int(x) for x in link_arr[li])
+                link = LatLink(src=src, dst=dst, ef=ef, ascr=float(la[li]))
+                lid = len(lat.links)
+                lat.links.append(link)
+                lat.nodes[src].exits.append(lid)
+                lat.nodes[dst].entries.append(lid)
+            # final-frame exits for the terminal pass below
+            node_of = {(int(w), int(sf)): i
+                       for i, (w, sf) in enumerate(node_arr)}
+            best_per_frame = escore.max(axis=1, keepdims=True)
+            ok = (escore >= best_per_frame + thresh) & \
+                (escore > NEG_INF / 2)
+            for w in np.nonzero(ok[T - 1])[0]:
+                sf = int(estf[T - 1, w])
+                nid = node_of.get((int(w), sf))
+                if nid is not None:
+                    ends[T - 1].append((nid, float(eascr[T - 1, w])))
+        except ImportError:
+            best_per_frame = escore.max(axis=1, keepdims=True)
+            ok = (escore >= best_per_frame + thresh) & \
+                (escore > NEG_INF / 2)
+            node_of = {}
+
+            def get_node(w: int, sf: int) -> int:
+                key = (w, sf)
+                if key not in node_of:
+                    wid = words[w]
+                    n = LatNode(word=d.wordstr(wid), base=d.basestr(wid),
+                                sf=sf, is_fill=d.is_filler(wid),
+                                id=len(lat.nodes))
+                    lat.nodes.append(n)
+                    node_of[key] = n.id
+                return node_of[key]
+
+            for t in range(T):
+                for w in np.nonzero(ok[t])[0]:
+                    sf = int(estf[t, w])
+                    if sf > t:
+                        continue
+                    nid = get_node(int(w), sf)
+                    ends[t].append((nid, float(eascr[t, w])))
+            starts: dict[int, list[int]] = {}
+            for nid, n in enumerate(lat.nodes):
+                starts.setdefault(n.sf, []).append(nid)
+            for t in range(T - 1):
+                for nid, ascr in ends[t]:
+                    for dst in starts.get(t + 1, ()):
+                        link = LatLink(src=nid, dst=dst, ef=t, ascr=ascr)
+                        lid = len(lat.links)
+                        lat.links.append(link)
+                        lat.nodes[nid].exits.append(lid)
+                        lat.nodes[dst].entries.append(lid)
         # start node: the decoder's start word instance at frame 0 if
         # present, else any node at sf == 0
         start_word = None

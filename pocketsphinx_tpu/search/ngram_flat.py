@@ -35,11 +35,10 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..fileio.dictionary import Dictionary
 from ..models.dict2pid import Dict2Pid
 from ..models.acoustic import AcousticModel, UNIT_NATS
 from ..lm.ngram import NgramModel
-from ..ops.hmm import hmm_step, propagate_meta, out_meta as hmm_out_meta
+from ..ops.hmm import hmm_step
 
 NEG_INF = -1e30
 SHIFT = 1 << 10
@@ -393,18 +392,27 @@ class NgramFlatDecoder:
             w = self.finish_idx
         else:
             w = int(np.argmax(last))
-        segs = []
-        t = T - 1
-        while t >= 0 and w >= 0:
-            s = int(estf[t, w])
-            segs.append(Seg(word=self.dict.wordstr(self.words[w]),
-                            start=s, end=t))
-            p = int(eprw[t, w])
-            if s <= 0 or p < 0:
-                break
-            w = p
-            t = s - 1
-        segs.reverse()
+        try:
+            from .. import ps_native
+            raw = ps_native.backtrace(
+                np.ascontiguousarray(escore, np.float32),
+                np.ascontiguousarray(estf, np.int32),
+                np.ascontiguousarray(eprw, np.int32), int(w), int(T))
+            segs = [Seg(word=self.dict.wordstr(self.words[wi]),
+                        start=s, end=e) for wi, s, e in raw]
+        except ImportError:
+            segs = []
+            t = T - 1
+            while t >= 0 and w >= 0:
+                s = int(estf[t, w])
+                segs.append(Seg(word=self.dict.wordstr(self.words[w]),
+                                start=s, end=t))
+                p = int(eprw[t, w])
+                if s <= 0 or p < 0:
+                    break
+                w = p
+                t = s - 1
+            segs.reverse()
         out = []
         for s in segs:
             wid = self.dict.wordid(s.word)
