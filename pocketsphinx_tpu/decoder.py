@@ -265,14 +265,113 @@ class Decoder:
         self._costs = None
         self._feats = None
 
+    STREAM_BLOCK = 32   # frames per incremental search step
+
     def process_raw(self, data, no_search: bool = False,
                     full_utt: bool = False):
+        """Feed PCM.  With full_utt=False (streaming), the frontend,
+        scoring and search advance incrementally and hyp() returns
+        partial results mid-utterance (the reference's live mode)."""
         pcm = np.frombuffer(data, dtype="<i2") if isinstance(
             data, (bytes, bytearray)) else np.asarray(data, dtype=np.int16)
         self._raw.append(pcm)
+        if not full_utt and not no_search and self._stream_capable():
+            self._ensure_stream()
+            cep = self._fe_stream.process(pcm)
+            feats = self._feat_stream.process(cep)
+            self._stream_feats(feats)
         return len(pcm)
 
+    # -- streaming (incremental) decode -------------------------------------
+
+    def _stream_capable(self) -> bool:
+        if self._active is None:
+            return False
+        search = self._searches[self._active]
+        return (hasattr(search, "_make_scan")
+                and self.config["feat"] == "1s_c_d_dd"
+                and (self.config["svspec"] or "") == "0-12/13-25/26-38")
+
+    def _ensure_stream(self):
+        if getattr(self, "_fe_stream_active", False):
+            return
+        from .frontend.stream import FrontendStream, FeatStream
+        self._fe_stream = FrontendStream(self.fe)
+        self._feat_stream = FeatStream(
+            svspec=self.config["svspec"], cmn=self.config["cmn"],
+            cmn_state=self.cmn_state)
+        search = self._searches[self._active]
+        scan = search._make_scan()
+        self._stream_scan = scan.with_carry
+        self._stream_carry = search.init_carry
+        self._stream_recs = []
+        self._stream_t = 0
+        self._stream_pending = np.zeros((0, 3, 13), np.float32)
+        self._fe_stream_active = True
+
+    def _stream_feats(self, feats, flush: bool = False):
+        from .models.acoustic import senone_scores_jax
+        if len(feats):
+            self._stream_pending = np.concatenate(
+                [self._stream_pending, np.asarray(feats, np.float32)])
+        B = self.STREAM_BLOCK
+        while len(self._stream_pending) >= B or (
+                flush and len(self._stream_pending)):
+            block = self._stream_pending[:B]
+            self._stream_pending = self._stream_pending[B:]
+            n = len(block)
+            if n < B:
+                block = np.concatenate(
+                    [block, np.zeros((B - n,) + block.shape[1:],
+                                     np.float32)])
+            costs = senone_scores_jax(
+                self.am.scoring_arrays, self.am.cb_groups,
+                block[None])[0]
+            valid = np.arange(B) < n
+            recs, self._stream_carry = self._stream_scan(
+                costs, valid, self._stream_carry, self._stream_t)
+            self._stream_recs.append(
+                tuple(np.asarray(r)[:n] for r in recs))
+            self._stream_t += n
+
+    def _finish_stream(self):
+        cep = self._fe_stream.process(np.zeros(0, np.int16), end=True)
+        feats = self._feat_stream.process(cep, end=True)
+        self._stream_feats(feats, flush=True)
+        search = self._searches[self._active]
+        if self._stream_recs:
+            search.records = tuple(
+                np.concatenate([r[i] for r in self._stream_recs])
+                for i in range(len(self._stream_recs[0])))
+            self._feats = np.zeros((self._stream_t, 3, 13), np.float32)
+            hyp, segs = search._backtrace(search.records, self._stream_t)
+            self._segs = [Segment(s.word, s.start, s.end,
+                                  frate=self.fe.frate) for s in segs]
+            self._hyp = Hypothesis(hypstr=hyp)
+            self._lattice = None
+            if self.config["bestpath"]:
+                self._run_bestpath(search)
+        self._fe_stream_active = False
+
+    def partial_hyp(self):
+        """Best hypothesis so far, mid-utterance (streaming mode)."""
+        if not getattr(self, "_fe_stream_active", False) \
+                or not self._stream_recs:
+            return self._hyp
+        search = self._searches[self._active]
+        recs = tuple(np.concatenate([r[i] for r in self._stream_recs])
+                     for i in range(len(self._stream_recs[0])))
+        saved = getattr(search, "records", None)
+        search.records = recs
+        hyp, _ = search._backtrace(recs, self._stream_t)
+        if saved is not None:
+            search.records = saved
+        return Hypothesis(hypstr=hyp)
+
     def end_utt(self):
+        if getattr(self, "_fe_stream_active", False):
+            self._finish_stream()
+            return
         if not self._raw:
             return
         pcm = np.concatenate(self._raw)

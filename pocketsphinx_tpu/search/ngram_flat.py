@@ -332,18 +332,25 @@ class NgramFlatDecoder:
         carry0 = tuple(
             tuple(jnp.asarray(arr[j]) for j in range(NST))
             for arr in (S0, STF0, RW10, RW20, PRW0, ENTV0))
+        self.init_carry = carry0
 
-        def scan_fn(costs, valid):
+        def scan_fn(costs, valid, carry=None, t0=0):
             T = costs.shape[0]
             # [T, NST, P]: state-major senone goodness
             sen = -costs[:, senid_flat].reshape(T, P, NST)
             sen = jnp.moveaxis(sen, 2, 1)
-            _, recs = jax.lax.scan(
-                step, carry0,
-                (sen, jnp.arange(T, dtype=jnp.int32), valid))
-            return recs
+            carry_out, recs = jax.lax.scan(
+                step, carry0 if carry is None else carry,
+                (sen, t0 + jnp.arange(T, dtype=jnp.int32), valid))
+            return recs, carry_out
 
-        self._scan_fn = jax.jit(scan_fn)
+        jitted = jax.jit(scan_fn, static_argnames=())
+
+        def run(costs, valid):
+            return jitted(costs, valid)[0]
+
+        run.with_carry = jitted
+        self._scan_fn = run
         return self._scan_fn
 
     def decode(self, feats: np.ndarray, costs: np.ndarray | None = None):

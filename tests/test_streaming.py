@@ -1,0 +1,66 @@
+"""Streaming (incremental) decoding: chunked process_raw with partial
+hypotheses, equivalent to the reference's live mode; streaming frontend
+must be bit-identical to the batch frontend."""
+
+import numpy as np
+import pytest
+
+from pocketsphinx_tpu.decoder import Decoder
+from pocketsphinx_tpu.frontend.mfcc import MelFrontend
+from pocketsphinx_tpu.frontend.stream import FrontendStream, FeatStream
+from pocketsphinx_tpu.frontend.feat import compute_feats, CmnLive
+
+from conftest import DATADIR, EN_US, require_model
+
+
+@pytest.fixture(scope="module")
+def pcm():
+    require_model()
+    return np.frombuffer((DATADIR / "goforward.raw").read_bytes(),
+                         dtype="<i2")
+
+
+def test_stream_frontend_bit_exact(pcm):
+    fe = MelFrontend(nfilt=25, lowerf=130, upperf=6800, transform="dct",
+                     lifter_val=22, remove_noise=True)
+    ref = fe.process(pcm)
+    fs = FrontendStream(fe)
+    chunks = np.array_split(pcm, 23)
+    cep = np.concatenate([fs.process(c) for c in chunks[:-1]]
+                         + [fs.process(chunks[-1], end=True)])
+    assert cep.shape == ref.shape
+    assert np.abs(cep - ref).max() == 0.0
+
+
+def test_stream_feats_bit_exact(pcm):
+    fe = MelFrontend(nfilt=25, lowerf=130, upperf=6800, transform="dct",
+                     lifter_val=22, remove_noise=True)
+    cep = fe.process(pcm)
+    ref = compute_feats(cep, cmn="live", cmn_state=CmnLive(13))
+    fstr = FeatStream(cmn="live", cmn_state=CmnLive(13))
+    outs = [fstr.process(p) for p in np.array_split(cep, 7)]
+    outs.append(fstr.process(np.zeros((0, 13), np.float32), end=True))
+    got = np.concatenate(outs)
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() == 0.0
+
+
+def test_streaming_decode_with_partials(pcm):
+    d = Decoder(hmm=str(EN_US), lm=str(DATADIR / "turtle.lm.bin"),
+                dict=str(DATADIR / "turtle.dic"))
+    d.start_utt()
+    partials = []
+    for chunk in np.array_split(pcm, 10):
+        d.process_raw(chunk)
+        h = d.partial_hyp()
+        if h and h.hypstr:
+            partials.append(h.hypstr)
+    d.end_utt()
+    assert d.hyp().hypstr == "go forward ten meters"
+    # partials grow monotonically toward the final hypothesis
+    assert partials[-1] == "go forward ten meters"
+    assert any(p.startswith("go") for p in partials)
+    # segment boundaries near the batch decode's
+    by = {s.word: s for s in d.seg_iter()}
+    assert abs(by["go"].start_frame - 46) <= 3
+    assert abs(by["meters"].start_frame - 153) <= 4
