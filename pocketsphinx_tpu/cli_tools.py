@@ -20,13 +20,15 @@ def lm_convert_main(argv=None):
         sys.stderr.write("Usage: pocketsphinx-tpu-lm-convert -i IN -o OUT "
                          "[-ofmt arpa]\n")
         return 1
-    from .lm.ngram import read_lm, write_arpa
+    from .lm.ngram import read_lm, write_arpa, write_trie_bin
     m = read_lm(inp)
     if ofmt in ("arpa", "txt"):
         write_arpa(m, out)
+    elif ofmt in ("bin", "trie"):
+        write_trie_bin(m, out)
     else:
-        sys.stderr.write(f"Output format {ofmt!r} not supported yet "
-                         "(arpa only)\n")
+        sys.stderr.write(f"Output format {ofmt!r} not supported "
+                         "(arpa | bin)\n")
         return 1
     return 0
 

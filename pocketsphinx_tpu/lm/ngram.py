@@ -412,6 +412,137 @@ def write_arpa(model: NgramModel, path: str):
         f.write("\n\\end\\\n")
 
 
+def _write_bits(mem: bytearray, offset: int, nbits: int, value: int):
+    """bitarr_write_int25/57: little-endian bit-field insert."""
+    byte_off = offset >> 3
+    shift = offset & 7
+    cur = int.from_bytes(mem[byte_off:byte_off + 8], "little")
+    cur |= (value & ((1 << nbits) - 1)) << shift
+    mem[byte_off:byte_off + 8] = cur.to_bytes(8, "little")
+
+
+def write_trie_bin(model: NgramModel, path: str):
+    """Write the bit-packed reverse-trie .lm.bin format
+    (lm_trie_write_bin, src/lm/lm_trie.c:437-460): the inverse of
+    read_trie_bin, readable by the reference binary.
+
+    Quantization bins hold the sorted unique prob/backoff values per
+    level (exact when <= 2^16 distinct values, else quantile bins)."""
+    order = model.order
+    counts = [len(model.lv_words[l]) for l in range(order)]
+    V = counts[0]
+
+    # reconstruct forward tuples, then regroup as the reverse trie:
+    # level l>=1 entry (h_l ... h_1 w): parent = (h_{l-1} ... h_1 w).
+    paths = [[(w,) for w in range(V)]]
+    for lvl in range(1, order):
+        par = model._parents(lvl)
+        paths.append([paths[lvl - 1][int(p)] + (int(w),)
+                      for p, w in zip(par, model.lv_words[lvl])])
+
+    def rev_key(ids):
+        # forward (h_k ... h_1, w) -> trie path (w, h_1, ..., h_k)
+        return (ids[-1],) + tuple(reversed(ids[:-1]))
+
+    # order entries per level by (parent trie path, context key)
+    lv_entries = []   # per level: list of (rev_path, prob, bo, fwd_index)
+    for lvl in range(order):
+        ents = []
+        for i in range(counts[lvl]):
+            rp = rev_key(paths[lvl][i])
+            ents.append((rp, float(model.lv_prob[lvl][i]),
+                         float(model.lv_bo[lvl][i]), i))
+        ents.sort(key=lambda e: e[0])
+        lv_entries.append(ents)
+
+    def make_bins(values):
+        u = np.unique(np.asarray(values, np.float32))
+        if len(u) > (1 << 16):
+            qs = np.quantile(u, np.linspace(0, 1, 1 << 16))
+            u = np.unique(qs.astype(np.float32))
+        bins = np.full(1 << 16, u[-1] if len(u) else 0.0, np.float32)
+        bins[:len(u)] = u
+        return bins
+
+    def encode(bins, v):
+        # lower_bound (lm_trie_quant bins_encode)
+        return int(np.searchsorted(bins, np.float32(v), side="left"))
+
+    out = bytearray()
+    out += b"Trie Language Model"
+    out += bytes([order])
+    for c in counts:
+        out += np.array([c], "<u4").tobytes()
+    quant_parts = []
+    mid_bins = []
+    for lvl in range(1, order - 1):
+        pb = make_bins([e[1] for e in lv_entries[lvl]])
+        bb = make_bins([e[2] for e in lv_entries[lvl]])
+        mid_bins.append((pb, bb))
+        quant_parts += [pb, bb]
+    longest_bins = make_bins([e[1] for e in lv_entries[order - 1]]) \
+        if order > 1 else None
+    if order > 1:
+        quant_parts.append(longest_bins)
+        out += np.array([1], "<i4").tobytes()   # quant type
+        for q in quant_parts:
+            out += q.astype("<f4").tobytes()
+
+    # child ranges: entries of level l+1 grouped under level-l rev path
+    child_begin = []
+    for lvl in range(order - 1):
+        parent_pos = {e[0]: k for k, e in enumerate(lv_entries[lvl])}
+        nxt = np.zeros(counts[lvl] + 1, np.int64)
+        for e in (lv_entries[lvl + 1] if lvl + 1 < order else []):
+            nxt[parent_pos[e[0][:-1]] + 1] += 1
+        child_begin.append(np.cumsum(nxt))
+
+    # unigrams: trie order == word id order (rev path = (w,))
+    uni = np.zeros(V + 1, dtype=np.dtype([("prob", "<f4"), ("bo", "<f4"),
+                                          ("next", "<u4")]))
+    for k, e in enumerate(lv_entries[0]):
+        uni["prob"][k] = e[1]
+        uni["bo"][k] = e[2]
+    if order > 1:
+        uni["next"][:V + 1] = child_begin[0]
+    out += uni.tobytes()
+
+    word_bits = _required_bits(V)
+    for lvl in range(1, order):
+        n = counts[lvl]
+        is_longest = (lvl == order - 1)
+        if is_longest:
+            quant_bits, next_bits = 16, 0
+        else:
+            quant_bits, next_bits = 32, _required_bits(counts[lvl + 1])
+        total_bits = word_bits + quant_bits + next_bits
+        nbytes = ((1 + n) * total_bits + 7) // 8 + 8
+        mem = bytearray(nbytes)
+        for k, e in enumerate(lv_entries[lvl]):
+            off = k * total_bits
+            key = e[0][-1]          # deepest context word
+            _write_bits(mem, off, word_bits, key)
+            if is_longest:
+                _write_bits(mem, off + word_bits, 16,
+                            encode(longest_bins, e[1]))
+            else:
+                pb, bb = mid_bins[lvl - 1]
+                _write_bits(mem, off + word_bits, 16, encode(bb, e[2]))
+                _write_bits(mem, off + word_bits + 16, 16,
+                            encode(pb, e[1]))
+                _write_bits(mem, off + word_bits + quant_bits, next_bits,
+                            int(child_begin[lvl][k]))
+        if not is_longest:
+            _write_bits(mem, n * total_bits + word_bits + quant_bits,
+                        next_bits, int(child_begin[lvl][n]))
+        out += bytes(mem)
+    words_blob = b"\0".join(w.encode("utf-8") for w in model.words) + b"\0"
+    out += np.array([len(words_blob)], "<i4").tobytes()
+    out += words_blob
+    with open(path, "wb") as f:
+        f.write(out)
+
+
 def read_dmp(path: str) -> NgramModel:
     """Legacy Sphinx DMP ("Darpa Trigram LM") binary reader
     (ngram_model_trie_read_dmp, src/lm/ngram_model_trie.c:489-690 +
