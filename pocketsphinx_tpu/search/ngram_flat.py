@@ -199,12 +199,31 @@ class NgramFlatDecoder:
         # map decoder word -> lm wid for successor lookup columns
         self.col_lm = np.where(self.lm_wid >= 0, self.lm_wid, 0)
 
+    # Vocabulary size above which the full trigram cube ([V+1, V, W]
+    # floats) is replaced by a bigram matrix ([V+1, W]): the cube costs
+    # V^2*W memory and is only practical for command-and-control LMs.
+    TRIGRAM_CUBE_LIMIT = 300
+
     def _lm_cube(self) -> np.ndarray:
-        """[V+1, V, W] weighted successor scores: [h2, h1, w]; h2 == V
-        means "no second history" (bigram row)."""
+        """Trigram mode: [V+1, V, W] weighted successor scores
+        [h2, h1, w]; h2 == V means "no second history".  Bigram mode
+        (V > TRIGRAM_CUBE_LIMIT): [V+1, W] rows by h1 only — the exact
+        bigram search; trigram knowledge then enters via the lattice
+        best-path rescoring pass."""
         if getattr(self, "_cube", None) is not None:
             return self._cube
         lm, V, W = self.lm, self.V, self.W
+        if V > self.TRIGRAM_CUBE_LIMIT:
+            self.lm_order_used = 2
+            mat = np.zeros((V + 1, W), dtype=np.float32)
+            mat[V] = lm.successor_row(())[self.col_lm]
+            for h1 in range(V):
+                mat[h1] = lm.successor_row((h1,))[self.col_lm]
+            mat = mat / SHIFT
+            mat[:, self.is_fill] = 0.0
+            self._cube = mat
+            return self._cube
+        self.lm_order_used = 3
         cube = np.zeros((V + 1, V, W), dtype=np.float32)
         for h1 in range(V):
             row = lm.successor_row((h1,))[self.col_lm]
@@ -285,7 +304,11 @@ class NgramFlatDecoder:
             eprw = o_prw[exit_node_sil]
             escore = out[exit_node_sil]
             eascr = escore - o_entv[exit_node_sil]
-            lmrow = lm_cube[eh2, eh1]                     # [W, W]
+            if lm_cube.ndim == 3:
+                lmrow = lm_cube[eh2, eh1]                 # [W, W]
+            else:
+                # bigram mode: rows keyed by most-recent real word only
+                lmrow = lm_cube[eh1]                      # [W, W]
             trans = jnp.where(is_fill[None, :],
                               exg + fillpen_w[None, :],
                               exg + lmrow + (self.nwpen + self.pip))

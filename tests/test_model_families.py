@@ -93,3 +93,67 @@ def test_subvec_parse():
     assert [len(s) for s in sv] == [13, 13, 13]
     sv2 = parse_subvecs("24,0-11/25,12-23/26-38")
     assert list(sv2[0]) == [24] + list(range(12))
+
+
+@pytest.mark.skipif(not TIDIGITS.is_dir(), reason="tidigits missing")
+def test_tidigits_ngram_decode():
+    """N-gram mode with the 5-state semi-continuous model."""
+    from pocketsphinx_tpu.lm.ngram import read_lm
+    from pocketsphinx_tpu.search.ngram_flat import NgramFlatDecoder
+    am = AcousticModel.load(str(TIDIGITS / "hmm"))
+    d = Dictionary(am.mdef, str(TIDIGITS / "lm" / "tidigits.dic"))
+    d2p = Dict2Pid(am.mdef, d)
+    lm = read_lm(str(TIDIGITS / "lm" / "tidigits.lm.bin"), lw=6.5,
+                 wip=0.65)
+    dec = NgramFlatDecoder(am, d2p, lm)
+    feats, _ = compute_feats_typed(
+        read_mfc(str(TIDIGITS / "man.ah.2934za.mfc")),
+        feat_type="s2_4x", cmn="current")
+    hyp, _ = dec.decode(feats)
+    assert hyp == "two nine three four zero"
+
+
+def test_large_vocab_bigram_mode():
+    """Vocabulary above TRIGRAM_CUBE_LIMIT switches to the bigram
+    transition matrix and still decodes correctly."""
+    import io
+    import random
+    from pocketsphinx_tpu.lm.arpabo import ArpaBoLM
+    from pocketsphinx_tpu.lm.ngram import read_arpa
+    from pocketsphinx_tpu.search.ngram_flat import NgramFlatDecoder
+    from pocketsphinx_tpu.frontend.mfcc import MelFrontend
+    from pocketsphinx_tpu.frontend.feat import compute_feats
+    am = AcousticModel.load(str(DATADIR.parent.parent
+                                / "model" / "en-us" / "en-us"))
+    d = Dictionary(am.mdef,
+                   str(DATADIR.parent.parent / "model" / "en-us"
+                       / "cmudict-en-us.dict"),
+                   str(DATADIR.parent.parent / "model" / "en-us"
+                       / "en-us" / "noisedict"))
+    rng = random.Random(7)
+    vocab = rng.sample([w for w in list(d._index)[:20000]
+                        if w.isalpha()], 600)
+    for w in ("go", "forward", "ten", "meters"):
+        if w not in vocab:
+            vocab.append(w)
+    sents = [" ".join(rng.sample(vocab, rng.randint(3, 7)))
+             for _ in range(1500)]
+    sents += ["go forward ten meters"] * 20
+    buf = io.StringIO()
+    ArpaBoLM(text="\n".join(sents), add_start=True).write(buf)
+    import tempfile, os
+    fd, tmp = tempfile.mkstemp(suffix=".arpa")
+    os.close(fd)
+    open(tmp, "w").write(buf.getvalue())
+    lm = read_arpa(tmp).apply_weights(6.5, 0.65)
+    os.unlink(tmp)
+    assert lm.counts[0] > NgramFlatDecoder.TRIGRAM_CUBE_LIMIT
+    dec = NgramFlatDecoder(am, Dict2Pid(am.mdef, d), lm)
+    fe = MelFrontend(nfilt=25, lowerf=130, upperf=6800, transform="dct",
+                     lifter_val=22, remove_noise=True)
+    pcm = np.frombuffer((DATADIR / "goforward.raw").read_bytes(),
+                        dtype="<i2")
+    feats = compute_feats(fe.process(pcm), cmn="batch")
+    hyp, _ = dec.decode(feats)
+    assert hyp == "go forward ten meters"
+    assert dec._lm_cube().ndim == 2  # bigram mode engaged
