@@ -120,8 +120,16 @@ def _main(argv=None):
         for i, feats in enumerate(feats_list):
             results.append(search.decode(feats))
 
+    outlatdir = config["outlatdir"]
     for uttid, (hyp, segs) in zip(utts, results):
         hyp_f.write(f"{hyp} ({uttid})\n")
+        if outlatdir and hasattr(search, "records"):
+            from .search.lattice import Lattice
+            try:
+                lat = Lattice.from_flat_records(search)
+                lat.write(f"{outlatdir}/{uttid}.lat")
+            except Exception as e:
+                sys.stderr.write(f"WARNING: lattice for {uttid}: {e}\n")
         if hypseg_f is not None:
             parts = [f"{s.word} {s.start} {s.end}" for s in segs]
             hypseg_f.write(f"{uttid} " + " ".join(parts) + "\n")

@@ -377,11 +377,18 @@ class Decoder:
         pcm = np.concatenate(self._raw)
         cep = self.fe.process(pcm)
         from .frontend.feat import compute_feats_typed
+        lda = None
+        if self.config["lda"]:
+            from .fileio import read_lda
+            if not hasattr(self, "_lda"):
+                self._lda = read_lda(self.config["lda"])
+            lda = self._lda
         feats, featlen = compute_feats_typed(
             cep, feat_type=self.config["feat"],
             svspec=self.config["svspec"],
             cmn=self.config["cmn"], cmn_state=self.cmn_state,
-            agc=self.config["agc"], varnorm=self.config["varnorm"])
+            agc=self.config["agc"], varnorm=self.config["varnorm"],
+            lda=lda, ldadim=self.config["ldadim"])
         self._feats = feats
         self._write_logs(pcm, cep)
         self._decode(feats)

@@ -99,6 +99,43 @@ def agc_max(cep: np.ndarray) -> np.ndarray:
     return out
 
 
+class AgcEmax:
+    """agc_emax: estimated-max AGC — subtract a running estimate of the
+    utterance c0 maximum, updated across utterances (src/feat/agc.c)."""
+
+    def __init__(self, init: float = 5.0):
+        self.max_est = init
+        self.obs_max = -1e10
+        self.obs_frames = 0
+
+    def __call__(self, cep: np.ndarray) -> np.ndarray:
+        out = cep.copy()
+        out[:, 0] -= self.max_est
+        if len(cep):
+            self.obs_max = max(self.obs_max, float(cep[:, 0].max()))
+            self.obs_frames += len(cep)
+        return out
+
+    def update(self):
+        """agc_emax_update: blend the observed max into the estimate."""
+        if self.obs_frames > 10:
+            self.max_est = 0.5 * self.max_est + 0.5 * self.obs_max
+            self.obs_max = -1e10
+            self.obs_frames = 0
+
+
+def agc_noise(cep: np.ndarray, noise_thresh: float = 2.0) -> np.ndarray:
+    """agc_noise: subtract the mean c0 of the quietest frames (noise
+    level) from c0 (src/feat/agc.c agc_noise)."""
+    out = cep.copy()
+    c0 = cep[:, 0]
+    if len(c0):
+        floor = c0.min() + noise_thresh
+        quiet = c0[c0 <= floor]
+        out[:, 0] -= quiet.mean() if len(quiet) else c0.min()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Dynamic features
 # ---------------------------------------------------------------------------
@@ -119,7 +156,8 @@ def compute_deltas(cep: np.ndarray) -> np.ndarray:
 
 def apply_cmn_agc(cep: np.ndarray, cmn: str = "batch",
                   cmn_state: CmnLive | None = None, agc: str = "none",
-                  varnorm: bool = False) -> np.ndarray:
+                  varnorm: bool = False,
+                  agc_state: "AgcEmax | None" = None) -> np.ndarray:
     cep = np.asarray(cep, dtype=np.float32)
     if cmn in ("batch", "current"):      # "current" = legacy name
         cep = cmn_batch(cep, varnorm)
@@ -127,6 +165,10 @@ def apply_cmn_agc(cep: np.ndarray, cmn: str = "batch",
         cep = (cmn_state or CmnLive(cep.shape[1]))(cep)
     if agc == "max":
         cep = agc_max(cep)
+    elif agc == "emax":
+        cep = (agc_state or AgcEmax())(cep)
+    elif agc == "noise":
+        cep = agc_noise(cep)
     return cep
 
 
@@ -142,7 +184,9 @@ def compute_feats(cep: np.ndarray, cmn: str = "batch",
 def compute_feats_typed(cep: np.ndarray, feat_type: str = "1s_c_d_dd",
                         svspec: str | None = None, cmn: str = "batch",
                         cmn_state: CmnLive | None = None,
-                        agc: str = "none", varnorm: bool = False):
+                        agc: str = "none", varnorm: bool = False,
+                        lda: np.ndarray | None = None,
+                        ldadim: int = 0):
     """Feature computation dispatch by -feat type (feat_init,
     src/feat/feat.c:705-800).  Returns ([T, n_stream, max_len] float32
     zero-padded, featlen list)."""
@@ -160,6 +204,12 @@ def compute_feats_typed(cep: np.ndarray, feat_type: str = "1s_c_d_dd",
         else:
             st = compute_deltas(cep)
             vec = st.reshape(T, -1)             # [T, 39] c/d/dd
+        if lda is not None:
+            # feat_lda_transform (src/feat/lda.c): single-stream only;
+            # rows of the matrix are output dimensions
+            dim = ldadim if ldadim and ldadim <= lda.shape[0] \
+                else lda.shape[0]
+            vec = (vec @ lda.T[:, :dim]).astype(np.float32)
         if svspec:
             streams = parse_subvecs(svspec)
             maxlen = max(len(s) for s in streams)
