@@ -468,7 +468,17 @@ class Decoder:
         lm = getattr(search, "lm", None)
         lwf = (self.config["bestpathlw"] / self.config["lw"]
                if self.config["lw"] else 1.0)
-        hyp, segs, score = lat.bestpath(lm=lm, lwf=lwf)
+        import math
+        from .models.acoustic import UNIT_NATS
+        silpen = math.log(self.config["silprob"]) / UNIT_NATS
+        fillpen = math.log(self.config["fillprob"]) / UNIT_NATS
+        finish = None
+        if getattr(search, "finish_idx", None) is not None:
+            finish = self.dict.wordstr(
+                search.words[search.finish_idx])
+        hyp, segs, score = lat.bestpath(lm=lm, lwf=lwf, silpen=silpen,
+                                        fillpen=fillpen,
+                                        finish_word=finish)
         if not hyp and not segs:
             return
         lat.posterior(ascale=self.config["ascale"])

@@ -192,7 +192,7 @@ class Lattice:
     # -- bestpath (3rd pass) -------------------------------------------------
 
     def bestpath(self, lm=None, lwf: float = 1.0, silpen: float = 0.0,
-                 fillpen: float = 0.0):
+                 fillpen: float = 0.0, finish_word: str | None = None):
         """Forward DP over links maximizing ascr + lwf * LM(word | hist),
         fillers bypassed for LM context (ps_lattice_bestpath).  Returns
         (best hyp string, list of (word, sf, ef), best score)."""
@@ -229,11 +229,18 @@ class Lattice:
                 if cand > score[li]:
                     score[li] = cand
                     back[li] = pi
-        # best terminal link
+        # best terminal link; like ngram_search's find_exit, a final
+        # </s> instance is preferred when one survives
         term_links = [li for li, l in enumerate(self.links)
                       if l.dst == self.end]
         if not term_links:
             return "", [], NEG_INF
+        if finish_word is not None:
+            fin = [li for li in term_links
+                   if self.nodes[self.links[li].src].word == finish_word
+                   and score[li] > NEG_INF / 2]
+            if fin:
+                term_links = fin
         best = max(term_links, key=lambda li: score[li])
         chain = []
         li = best
