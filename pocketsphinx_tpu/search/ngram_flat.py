@@ -257,42 +257,15 @@ class NgramFlatDecoder:
         NST = self.mdef.n_emit_state
         senid_flat = jnp.asarray(self.senid.reshape(-1))
         tp = jnp.asarray(self.tp)                      # [P, NST, NST+1]
+        chain_pred = jnp.asarray(np.maximum(self.chain_pred, 0))
         has_pred = jnp.asarray(self.chain_pred >= 0)
+        entry_nodes = np.nonzero(self.chain_pred < 0)[0]
+        entry_words = self.node_word[entry_nodes]
         # dense entry map: for each node, its word if it is an entry node
         entry_mask = jnp.asarray(self.chain_pred < 0)
         node_word_j = jnp.asarray(self.node_word)
+        exit_node = jnp.asarray(self.exit_node)        # [W, W]
         exit_node_sil = jnp.asarray(self.exit_node_sil)
-
-        # TPU gathers are slow; the hot per-frame lookups are
-        # restructured as lane shifts and a one-hot MXU contraction:
-        # (a) intra-word chain predecessors are the previous node for all
-        #     but a handful of layout exceptions (extra final-phone
-        #     variants), handled by a small scatter fixup;
-        cp = self.chain_pred
-        idx = np.arange(P)
-        exc = np.nonzero((cp >= 0) & (cp != idx - 1))[0]
-        exc_idx = jnp.asarray(exc)
-        exc_src = jnp.asarray(np.maximum(cp[exc], 0))
-
-        def chain_vals(x):
-            shifted = jnp.concatenate([x[:1], x[:-1]])
-            if len(exc):
-                shifted = shifted.at[exc_idx].set(x[exc_src])
-            return shifted
-
-        # (b) the [W, W] per-right-context exit table becomes
-        #     exg = einsum(class-exits, one-hot class selector).
-        n_class = self.n_class
-        cmax = int(n_class.max())
-        cls_of = self.exit_node - self.final_base[:, None]   # [W, W]
-        ex_class_idx = (self.final_base[:, None]
-                        + np.minimum(np.arange(cmax)[None, :],
-                                     n_class[:, None] - 1))   # [W, Cmax]
-        onehot = np.zeros((W, cmax, W), np.float32)
-        onehot[np.arange(W)[:, None], cls_of,
-               np.arange(W)[None, :]] = 1.0
-        ex_class_j = jnp.asarray(ex_class_idx.reshape(-1))
-        onehot_j = jnp.asarray(onehot)
         lm_cube = jnp.asarray(self._lm_cube())         # [V+1, V, W]
         is_fill = jnp.asarray(self.is_fill)
         lm_wid = jnp.asarray(np.where(self.lm_wid >= 0, self.lm_wid, 0))
@@ -309,14 +282,13 @@ class NgramFlatDecoder:
                 (o_stf, o_rw1, o_rw2, o_prw, o_entv) = hmm_step_sm(
                     S, tuple(sen_t[j] for j in range(NST)), tp,
                     metas=(STF, RW1, RW2, PRW, ENTV))
-            # intra-word chain entry (from predecessor phone's exit):
-            # shift-by-one + exception fixup instead of a [P] gather
-            chain_entry = jnp.where(has_pred, chain_vals(out) + self.pip,
+            # intra-word chain entry (from predecessor phone's exit)
+            chain_entry = jnp.where(has_pred, out[chain_pred] + self.pip,
                                     NEG_INF)
             ch_win = chain_entry > newS[0]
 
             def chw(newv, oldv):
-                return jnp.where(ch_win, chain_vals(newv), oldv)
+                return jnp.where(ch_win, newv[chain_pred], oldv)
             s0 = jnp.where(ch_win, chain_entry, newS[0])
             stf0 = chw(o_stf, nSTF[0])
             rw10 = chw(o_rw1, nRW1[0])
@@ -324,11 +296,8 @@ class NgramFlatDecoder:
             prw0 = chw(o_prw, nPRW[0])
             entv0 = chw(o_entv, nENTV[0])
 
-            # word exits: per-class exits contracted against the static
-            # one-hot right-context selector (MXU-friendly)
-            ex_class = out[ex_class_j].reshape(W, cmax)
-            exg = jnp.einsum("wc,wck->wk", ex_class, onehot_j,
-                             precision=jax.lax.Precision.HIGHEST)
+            # word exits
+            exg = out[exit_node]                          # [W, W]
             eh1 = o_rw1[exit_node_sil]                    # [W]
             eh2 = o_rw2[exit_node_sil]
             estf = o_stf[exit_node_sil]
