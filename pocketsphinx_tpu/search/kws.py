@@ -25,15 +25,22 @@ NEG_INF = -1e30
 
 def parse_kws_file(path: str, default_threshold: float):
     """Parse a -kws file: one keyphrase per line, optional /threshold/
-    suffix (kws_search.c keyphrase file format)."""
+    suffix; malformed lines are skipped with a warning like the
+    reference (kws_search.c keyphrase file parsing)."""
+    import sys
     out = []
     for line in open(path):
         line = line.strip()
         if not line:
             continue
         if "/" in line:
-            phrase, thresh = line.rsplit("/", 2)[0:2]
-            out.append((phrase.strip(), float(thresh)))
+            parts = line.split("/")
+            try:
+                thresh = float(parts[1])
+            except (ValueError, IndexError):
+                sys.stderr.write(f"WARNING: bad kws line {line!r}\n")
+                continue
+            out.append((parts[0].strip(), thresh))
         else:
             out.append((line, default_threshold))
     return out
@@ -71,14 +78,28 @@ class KwsDecoder:
         self.bg_tp = np.where(tpc == 255, NEG_INF, -tpc)
         # keyphrases: concatenated word pronunciations (CI phones)
         self.kw_phones = []
-        for phrase, _ in self.keyphrases:
+        usable = []
+        for phrase, thresh in self.keyphrases:
             phones = []
+            ok = True
             for w in phrase.split():
                 wid = d.wordid(w)
                 if wid < 0:
-                    raise KeyError(f"Unknown word {w!r} in keyphrase")
+                    import sys
+                    sys.stderr.write(
+                        f"WARNING: unknown word {w!r}; skipping "
+                        f"keyphrase {phrase!r}\n")
+                    ok = False
+                    break
                 phones.extend(int(p) for p in d.pron(wid))
-            self.kw_phones.append(phones)
+            if ok and phones:
+                usable.append((phrase, thresh))
+                self.kw_phones.append(phones)
+        if not usable:
+            raise ValueError("no usable keyphrases")
+        self.keyphrases = usable
+        self.thresholds = [math.log(t) / UNIT_NATS
+                           for _, t in usable]
         K = max(len(p) for p in self.kw_phones)
         NK = len(self.kw_phones)
         self.kw_len = np.array([len(p) for p in self.kw_phones])
@@ -187,5 +208,20 @@ class KwsDecoder:
                         t += 1
                 else:
                     t += 1
-        dets.sort(key=lambda d: d.start)
-        return dets
+        # merge overlapping detections of the same phrase (one keyword
+        # instance can keep its ratio above threshold across re-triggers)
+        dets.sort(key=lambda d: (d.keyphrase, d.start))
+        merged: list[Detection] = []
+        for det in dets:
+            if (merged and merged[-1].keyphrase == det.keyphrase
+                    and det.start <= merged[-1].end):
+                if det.score > merged[-1].score:
+                    merged[-1] = Detection(det.keyphrase,
+                                           merged[-1].start, det.end,
+                                           det.score)
+                else:
+                    merged[-1].end = max(merged[-1].end, det.end)
+                continue
+            merged.append(det)
+        merged.sort(key=lambda d: d.start)
+        return merged
