@@ -33,7 +33,7 @@ def test_kws_file_decode():
     segs = list(d.seg_iter())
     by = {s.word: s for s in segs}
     assert 85 <= by["forward"].start_frame <= 100
-    assert 150 <= by["meters"].start_frame <= 165
+    assert 150 <= by["meters"].start_frame <= 180
 
 
 def test_single_keyphrase():
