@@ -84,56 +84,23 @@ class FsgDecoder:
         self.words = [wid for _, wid in arcs]
         self.start_idx = None
 
-        senid_rows, tmat_rows, chain_pred, node_arc = [], [], [], []
+        from ..models.chains import ChainRows, append_word_chain
+        rows = ChainRows()
         first_node = np.zeros(A, np.int32)
         final_base = np.zeros(A, np.int32)
         cls_map = np.zeros((A, mdef.n_ciphone), np.int16)
         f0_arr = np.zeros(A, np.int32)
         for i, (l, wid) in enumerate(arcs):
-            pron = [int(x) for x in d.pron(wid)]
-            L = len(pron)
-            f0_arr[i] = pron[0]
-            first_node[i] = len(senid_rows)
-            if d.is_filler(wid) or (L == 1 and pron[0] == sil):
-                for j, ci in enumerate(pron):
-                    senid_rows.append(mdef.sseq[mdef.phone_ssid[ci]])
-                    tmat_rows.append(mdef.phone_tmat[ci])
-                    chain_pred.append(len(senid_rows) - 2 if j else -1)
-                    node_arc.append(i)
-                final_base[i] = len(senid_rows) - 1
-                cls_map[i, :] = 0
-                continue
-            if L == 1:
-                uniq, inv = np.unique(d2p.lrdiph_rc[pron[0], sil],
-                                      return_inverse=True)
-                for ssid in uniq:
-                    senid_rows.append(mdef.sseq[int(ssid)])
-                    tmat_rows.append(mdef.phone_tmat[pron[0]])
-                    chain_pred.append(-1)
-                    node_arc.append(i)
-                final_base[i] = first_node[i]
-                cls_map[i, :] = inv
-                continue
-            senid_rows.append(mdef.sseq[int(d2p.ldiph_lc[pron[0], pron[1],
-                                                         sil])])
-            tmat_rows.append(mdef.phone_tmat[pron[0]])
-            chain_pred.append(-1)
-            node_arc.append(i)
-            internal = d2p.internal_ssids(wid)
-            for j in range(1, L - 1):
-                senid_rows.append(mdef.sseq[int(internal[j - 1])])
-                tmat_rows.append(mdef.phone_tmat[pron[j]])
-                chain_pred.append(len(senid_rows) - 2)
-                node_arc.append(i)
-            uniq, cimap = d2p.rssid(pron[-1], pron[-2])
-            pre = len(senid_rows) - 1
-            final_base[i] = len(senid_rows)
-            for ssid in uniq:
-                senid_rows.append(mdef.sseq[int(ssid)])
-                tmat_rows.append(mdef.phone_tmat[pron[-1]])
-                chain_pred.append(pre)
-                node_arc.append(i)
-            cls_map[i, :] = cimap
+            f0_arr[i] = int(d.pron(wid)[0])
+            fn, fb, nc, cr = append_word_chain(rows, d, mdef, d2p, wid, i,
+                                               mdef.n_ciphone)
+            first_node[i] = fn
+            final_base[i] = fb
+            cls_map[i] = cr
+        senid_rows = rows.senid
+        chain_pred = rows.chain_pred
+        node_arc = rows.owner
+        tmat_rows = rows.tmat
 
         self.P = len(senid_rows)
         self.senid = np.asarray(senid_rows, np.int32)

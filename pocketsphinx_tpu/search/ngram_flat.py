@@ -100,72 +100,26 @@ class NgramFlatDecoder:
         self.start_idx = None
         self.finish_idx = None
 
-        # Build phone chains.  Left context of word-initial phones is
-        # approximated as SIL (see module docstring; the reference's mpx
-        # sharing is a different approximation of the same unknown).
-        senid_rows = []     # [P, 3]
-        tmat_rows = []
-        chain_pred = []     # intra-word predecessor or -1 (word entry node)
-        node_word = []      # word index
+        # Build phone chains (shared builder; see models/chains.py).
+        from ..models.chains import ChainRows, append_word_chain
+        rows = ChainRows()
         first_node = np.zeros(W, np.int32)
         self.n_class = np.zeros(W, np.int32)
         final_base = np.zeros(W, np.int32)
         cls_map = np.zeros((W, mdef.n_ciphone), np.int16)
         f0_arr = np.zeros(W, np.int32)
-
         for i, wid in enumerate(words):
-            pron = [int(x) for x in d.pron(wid)]
-            L = len(pron)
-            f0_arr[i] = pron[0]
-            first_node[i] = len(senid_rows)
-            if d.is_filler(wid) or L == 1 and pron[0] == sil:
-                # fillers use CI phones (fsg/ngram treat fillers as CI)
-                for j, ci in enumerate(pron):
-                    senid_rows.append(mdef.sseq[mdef.phone_ssid[ci]])
-                    tmat_rows.append(mdef.phone_tmat[ci])
-                    chain_pred.append(len(senid_rows) - 2 if j else -1)
-                    node_word.append(i)
-                final_base[i] = len(senid_rows) - 1
-                self.n_class[i] = 1
-                cls_map[i, :] = 0
-                continue
-            if L == 1:
-                # single-phone word: lrdiph with lc=SIL, rc classes
-                uniq_ssids, inv = np.unique(
-                    d2p.lrdiph_rc[pron[0], sil], return_inverse=True)
-                for c, ssid in enumerate(uniq_ssids):
-                    senid_rows.append(mdef.sseq[ssid])
-                    tmat_rows.append(mdef.phone_tmat[pron[0]])
-                    chain_pred.append(-1)
-                    node_word.append(i)
-                final_base[i] = first_node[i]
-                self.n_class[i] = len(uniq_ssids)
-                cls_map[i, :] = inv
-                continue
-            # first phone (lc = SIL approx)
-            ssid0 = int(d2p.ldiph_lc[pron[0], pron[1], sil])
-            senid_rows.append(mdef.sseq[ssid0])
-            tmat_rows.append(mdef.phone_tmat[pron[0]])
-            chain_pred.append(-1)
-            node_word.append(i)
-            # internal
-            internal = d2p.internal_ssids(wid)
-            for j in range(1, L - 1):
-                senid_rows.append(mdef.sseq[int(internal[j - 1])])
-                tmat_rows.append(mdef.phone_tmat[pron[j]])
-                chain_pred.append(len(senid_rows) - 2)
-                node_word.append(i)
-            # final phone: rc classes
-            uniq, cimap = d2p.rssid(pron[-1], pron[-2])
-            pre = len(senid_rows) - 1
-            final_base[i] = len(senid_rows)
-            for ssid in uniq:
-                senid_rows.append(mdef.sseq[int(ssid)])
-                tmat_rows.append(mdef.phone_tmat[pron[-1]])
-                chain_pred.append(pre)
-                node_word.append(i)
-            self.n_class[i] = len(uniq)
-            cls_map[i, :] = cimap
+            f0_arr[i] = int(d.pron(wid)[0])
+            fn, fb, nc, cr = append_word_chain(rows, d, mdef, d2p, wid, i,
+                                               mdef.n_ciphone)
+            first_node[i] = fn
+            final_base[i] = fb
+            self.n_class[i] = nc
+            cls_map[i] = cr
+        senid_rows = rows.senid
+        tmat_rows = rows.tmat
+        chain_pred = rows.chain_pred
+        node_word = rows.owner
 
         P = len(senid_rows)
         self.P = P
@@ -362,9 +316,12 @@ class NgramFlatDecoder:
             # [T, NST, P]: state-major senone goodness
             sen = -costs[:, senid_flat].reshape(T, P, NST)
             sen = jnp.moveaxis(sen, 2, 1)
+            import os
+            unroll = int(os.environ.get("PS_SCAN_UNROLL", "1"))
             carry_out, recs = jax.lax.scan(
                 step, carry0 if carry is None else carry,
-                (sen, t0 + jnp.arange(T, dtype=jnp.int32), valid))
+                (sen, t0 + jnp.arange(T, dtype=jnp.int32), valid),
+                unroll=unroll)
             return recs, carry_out
 
         jitted = jax.jit(scan_fn, static_argnames=())
