@@ -2,6 +2,7 @@
 test_reinit.c and the CLI regression JSON shape)."""
 
 import json
+import os
 import subprocess
 import sys
 
@@ -96,3 +97,32 @@ def test_cli_config_and_soxflags():
         [sys.executable, "-m", "pocketsphinx_tpu.cli", "-badopt", "x",
          "help"], capture_output=True, text=True, timeout=120)
     assert out.returncode != 0
+
+
+def test_batch_cli_resume_and_hypseg(tmp_path):
+    """pocketsphinx_batch seams: -ctloffset/-ctlcount resume and -hypseg."""
+    import subprocess
+    require_model()
+    ctl = tmp_path / "ctl"
+    ctl.write_text("001\n002\n003\n")
+    hyp = tmp_path / "out.hyp"
+    hypseg = tmp_path / "out.hypseg"
+    cmd = [sys.executable, "-m", "pocketsphinx_tpu.cli_batch",
+           "-hmm", str(EN_US),
+           "-jsgf", str(DATADIR / "cards" / "cards.gram"),
+           "-dict", str(DATADIR.parent.parent / "model" / "en-us"
+                        / "cmudict-en-us.dict"),
+           "-ctl", str(ctl), "-adcin", "yes",
+           "-cepdir", str(DATADIR / "cards"), "-cepext", ".wav",
+           "-hyp", str(hyp), "-hypseg", str(hypseg),
+           "-ctloffset", "1", "-ctlcount", "2"]
+    env = dict(os.environ, PS_TPU_DEVICE="cpu")
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
+                      env=env)
+    assert r.returncode == 0, r.stderr[-500:]
+    lines = hyp.read_text().splitlines()
+    assert len(lines) == 2
+    assert lines[0].endswith("(002)")
+    assert lines[1].endswith("(003)")
+    seg_lines = hypseg.read_text().splitlines()
+    assert len(seg_lines) == 2 and seg_lines[0].startswith("002 ")
