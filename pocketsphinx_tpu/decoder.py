@@ -492,6 +492,15 @@ class Decoder:
     def get_lattice(self):
         return getattr(self, "_lattice", None)
 
+    def read_lattice(self, path: str):
+        """ps_lattice_read: load a Sphinx-III DAG file (e.g. one written
+        by -outlatdir, ours or the reference's) as the current lattice."""
+        from .search.lattice import Lattice
+        lat = Lattice.read(path, dictionary=self.dict,
+                           frate=self.fe.frate)
+        self._lattice = lat
+        return lat
+
     def nbest(self, n: int = 10):
         """ps_nbest: A* N-best hypotheses over the word lattice."""
         lat = self.get_lattice()

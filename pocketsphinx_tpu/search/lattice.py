@@ -365,26 +365,188 @@ class Lattice:
 
     # -- output --------------------------------------------------------------
 
+    def _node_ef_range(self, n: LatNode):
+        """(first, last) end frame over a node's exit links; final node
+        (no exits) spans to the last frame like the reference's bptbl."""
+        efs = [self.links[li].ef for li in n.exits]
+        if not efs:
+            return self.n_frames - 1, self.n_frames - 1
+        return min(efs), max(efs)
+
     def write_htk(self, path: str):
-        """HTK SLF format (ps_lattice_write_htk)."""
+        """HTK SLF format (ps_lattice_write_htk, src/ps_lattice.c:271-349):
+        !SENT_START/!SENT_END/!NULL word mapping, v= alternate index,
+        a= acoustic score in nats, p= link posterior."""
         with open(path, "w") as f:
-            f.write("# Lattice generated by pocketsphinx-tpu\n")
+            f.write("# Lattice generated by PocketSphinx\n")
+            f.write("#\n# Header\n#\n")
+            f.write("VERSION=1.0\n")
+            f.write(f"start={self.start}\nend={self.end}\n#\n")
             f.write(f"N={len(self.nodes)}\tL={len(self.links)}\n")
+            f.write("#\n# Node definitions\n#\n")
             for n in self.nodes:
-                t = n.sf / self.frate
-                w = n.word if n.word else "!NULL"
-                f.write(f"I={n.id}\tt={t:.2f}\tW={w}\n")
-            for i, l in enumerate(self.links):
-                f.write(f"J={i}\tS={l.src}\tE={l.dst}"
-                        f"\ta={l.ascr:.2f}\tl={l.lscr:.2f}\n")
+                altpron = 1
+                if "(" in n.word:
+                    try:
+                        altpron = int(n.word[n.word.rindex("(") + 1:-1])
+                    except ValueError:
+                        pass
+                if n.word == "<s>":
+                    w = "!SENT_START"
+                elif n.word == "</s>":
+                    w = "!SENT_END"
+                elif n.is_fill:
+                    w = "!NULL"
+                else:
+                    w = n.base
+                f.write(f"I={n.id}\tt={n.sf / self.frate:.2f}\tW={w}"
+                        f"\tv={altpron}\n")
+            f.write("#\n# Link definitions\n#\n")
+            for j, l in enumerate(self.links):
+                a = l.ascr * LN_BASE_SHIFTED          # shifted units -> nats
+                p = (math.exp(min(l.post, 0.0))
+                     if l.post > NEG_INF / 2 else 0.0)
+                f.write(f"J={j}\tS={l.src}\tE={l.dst}"
+                        f"\ta={a:f}\tp={p:g}\n")
 
     def write(self, path: str):
-        """Native-style lattice dump (simplified ps_lattice format)."""
+        """Sphinx-III DAG format (ps_lattice_write, src/ps_lattice.c:207-268);
+        readable by the reference's ps_lattice_read and by Lattice.read.
+        Edge scores are raw logmath units (shifted units x 1024)."""
         with open(path, "w") as f:
-            f.write(f"# frames {self.n_frames}\n")
-            f.write("# nodes\n")
+            f.write("# getcwd: /this/is/bogus\n")
+            f.write("# -logbase 1.000100e+00\n#\n")
+            f.write(f"Frames {self.n_frames}\n#\n")
+            f.write(f"Nodes {len(self.nodes)} "
+                    "(NODEID WORD STARTFRAME FIRST-ENDFRAME LAST-ENDFRAME)\n")
             for n in self.nodes:
-                f.write(f"{n.id} {n.word or '!NULL'} {n.sf}\n")
-            f.write("# links\n")
+                fef, lef = self._node_ef_range(n)
+                f.write(f"{n.id} {n.word or '(null)'} {n.sf} {fef} {lef}"
+                        " ; 0\n")
+            f.write("#\n")
+            f.write(f"Initial {self.start}\nFinal {self.end}\n#\n")
+            f.write("BestSegAscr 0 (NODEID ENDFRAME ASCORE)\n#\n")
+            f.write("Edges (FROM-NODEID TO-NODEID ASCORE)\n")
             for l in self.links:
-                f.write(f"{l.src} {l.dst} {l.ef} {l.ascr:.3f}\n")
+                if l.ascr > 0 or l.ascr <= NEG_INF / 2:
+                    continue
+                f.write(f"{l.src} {l.dst} {int(round(l.ascr * SHIFT))}\n")
+            f.write("End\n")
+
+    # -- input ---------------------------------------------------------------
+
+    @classmethod
+    def read(cls, path: str, dictionary=None, frate: int = 100) -> "Lattice":
+        """Read a Sphinx-III DAG file written by the reference
+        (ps_lattice_read, src/ps_lattice.c:388-660) or by Lattice.write.
+        Edge scores (raw logmath units) are divided back to shifted units.
+        Nodes unreachable from the final node are pruned like the
+        reference's dag_mark_reachable + ps_lattice_delete_unreachable."""
+        lat = cls(frate=frate)
+
+        def is_fill(word: str) -> bool:
+            if dictionary is not None:
+                w = dictionary.wordid(word)
+                if w >= 0:
+                    return dictionary.is_filler(w)
+            # <s>/</s>/<sil>/[NOISE]... all live in the filler dict
+            # in the reference, so they are non-words for the hyp
+            base = word.split("(")[0]
+            return base.startswith(("<", "[", "++"))
+
+        with open(path) as f:
+            lines = [ln.rstrip("\n") for ln in f]
+        it = iter(lines)
+
+        def param(name: str) -> int:
+            for ln in it:
+                if ln.startswith("#"):
+                    continue
+                parts = ln.split()
+                if parts and parts[0].startswith(name) and len(parts) > 1:
+                    try:
+                        return int(parts[1])
+                    except ValueError:
+                        continue
+            return -1
+
+        lat.n_frames = param("Frames")
+        if lat.n_frames <= 0:
+            raise ValueError(f"{path}: Frames parameter missing")
+        n_nodes = param("Nodes")
+        if n_nodes <= 0:
+            raise ValueError(f"{path}: Nodes parameter missing")
+        for i in range(n_nodes):
+            ln = next(it)
+            parts = ln.split()
+            if len(parts) < 5 or int(parts[0]) != i:
+                raise ValueError(f"{path}: bad node line: {ln!r}")
+            word, sf = parts[1], int(parts[2])
+            lat.nodes.append(LatNode(word=word, base=word.split("(")[0],
+                                     sf=sf, is_fill=is_fill(word), id=i))
+        lat.start = param("Initial")
+        lat.end = param("Final")
+        if not (0 <= lat.start < n_nodes and 0 <= lat.end < n_nodes):
+            raise ValueError(f"{path}: Initial/Final missing")
+        for _ in range(max(param("BestSegAscr"), 0)):
+            next(it)
+        for ln in it:
+            if ln.startswith("Edges"):
+                break
+        else:
+            raise ValueError(f"{path}: Edges missing")
+        ended = False
+        for ln in it:
+            if ln.startswith("#"):
+                continue
+            parts = ln.split()
+            if len(parts) != 3:
+                ended = ln.strip() == "End"
+                break
+            src, dst, raw = int(parts[0]), int(parts[1]), int(parts[2])
+            li = len(lat.links)
+            lat.links.append(LatLink(src=src, dst=dst,
+                                     ef=lat.nodes[dst].sf - 1,
+                                     ascr=raw / SHIFT))
+            lat.nodes[src].exits.append(li)
+            lat.nodes[dst].entries.append(li)
+        if not ended:
+            raise ValueError(f"{path}: terminating 'End' missing")
+        # final-filler hack: score it as </s> for LM purposes
+        if lat.nodes[lat.end].is_fill:
+            lat.nodes[lat.end].base = "</s>"
+        lat._delete_unreachable()
+        return lat
+
+    def _delete_unreachable(self):
+        """Prune nodes with no path to the final node, renumber, and
+        rebuild link endpoints (ps_lattice_delete_unreachable)."""
+        reach = set()
+        stack = [self.end]
+        while stack:
+            nid = stack.pop()
+            if nid in reach:
+                continue
+            reach.add(nid)
+            for li in self.nodes[nid].entries:
+                stack.append(self.links[li].src)
+        newid = {}
+        nodes = []
+        for n in self.nodes:
+            if n.id in reach:
+                newid[n.id] = len(nodes)
+                nodes.append(n)
+        links = []
+        linkid = {}
+        for i, l in enumerate(self.links):
+            if l.src in reach and l.dst in reach:
+                linkid[i] = len(links)
+                l.src, l.dst = newid[l.src], newid[l.dst]
+                links.append(l)
+        for n in nodes:
+            n.id = newid[n.id]
+            n.entries = [linkid[i] for i in n.entries if i in linkid]
+            n.exits = [linkid[i] for i in n.exits if i in linkid]
+        self.nodes, self.links = nodes, links
+        self.start = newid.get(self.start, 0)
+        self.end = newid[self.end]

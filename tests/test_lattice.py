@@ -54,10 +54,47 @@ def test_lattice_write(decoded, tmp_path):
     lat.write_htk(str(htk))
     text = htk.read_text()
     assert text.startswith("#")
-    assert "N=" in text and "J=0" in text
+    assert "N=" in text and "J=0" in text and "VERSION=1.0" in text
     nat = tmp_path / "lat.lat"
     lat.write(str(nat))
-    assert "# links" in nat.read_text()
+    text = nat.read_text()
+    assert text.startswith("# getcwd: ")
+    assert "Edges (FROM-NODEID TO-NODEID ASCORE)" in text
+    assert text.rstrip().endswith("End")
+
+
+def test_lattice_roundtrip(decoded, tmp_path):
+    """write -> read preserves the DAG and its bestpath decision."""
+    lat = decoded.get_lattice()
+    p = tmp_path / "rt.lat"
+    lat.write(str(p))
+    lat2 = Lattice.read(str(p), dictionary=decoded.dict)
+    assert lat2.n_frames == lat.n_frames
+    # reachability pruning can only shrink the graph
+    assert 0 < len(lat2.nodes) <= len(lat.nodes)
+    lm = decoded._searches[decoded._active].lm
+    hyp1, _, _ = lat.bestpath(lm=lm)
+    hyp2, _, _ = lat2.bestpath(lm=lm)
+    assert hyp2 == hyp1
+
+
+def test_read_reference_lattice(decoded):
+    """Interop: a DAG written by the reference binary (-outlatdir) loads
+    and rescores to the reference hypothesis."""
+    import pathlib
+    gold = pathlib.Path(__file__).parent / "golden/goforward/goforward.lat"
+    if not gold.exists():
+        pytest.skip("golden lattice not captured")
+    lat = decoded.read_lattice(str(gold))
+    assert lat.n_frames == 278
+    assert len(lat.nodes) > 0 and len(lat.links) > 0
+    # every surviving node reaches the end by construction
+    lm = decoded._searches[decoded._active].lm
+    hyp, segs, _ = lat.bestpath(lm=lm)
+    assert hyp == "go forward ten meters"
+    # posteriors normalize on the read DAG too
+    norm = lat.posterior()
+    assert np.isfinite(norm)
 
 
 def test_fsg_lattice(decoded):
