@@ -33,6 +33,34 @@ def lm_convert_main(argv=None):
     return 0
 
 
+def mdef_convert_main(argv=None):
+    """Model-definition conversion (programs/pocketsphinx_mdef_convert.c):
+    [-text | -bin] INPUT OUTPUT."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    fmt = None
+    if argv and argv[0] in ("-text", "-bin"):
+        fmt = argv.pop(0)[1:]
+    if len(argv) != 2:
+        sys.stderr.write("Usage: pocketsphinx-tpu-mdef-convert "
+                         "[-text | -bin] INPUT OUTPUT\n")
+        return 1
+    inp, out = argv
+    if fmt is None:
+        fmt = "text" if out.endswith((".txt", ".text")) else "bin"
+    from .fileio.bin_mdef import (read_bin_mdef, write_bin_mdef,
+                                  write_text_mdef)
+    try:
+        m = read_bin_mdef(inp)   # auto-detects text vs binary input
+    except Exception as e:
+        sys.stderr.write(f"ERROR: cannot read mdef {inp!r}: {e}\n")
+        return 1
+    if fmt == "text":
+        write_text_mdef(m, out)
+    else:
+        write_bin_mdef(m, out)
+    return 0
+
+
 def lm_eval_main(argv=None):
     """Perplexity evaluation (programs/pocketsphinx_lm_eval.c):
     -lm FILE -text 'sentence' or -ctl file-of-sentences."""

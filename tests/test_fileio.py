@@ -127,3 +127,46 @@ def test_read_golden_mfc_and_sen():
     # goforward.mfc (classic corpus file) parses too
     cep2 = read_mfc(str(DATADIR / "goforward.mfc"))
     assert cep2.shape[1] == 13
+
+def test_mdef_write_roundtrip(mdef, tmp_path):
+    """Text and binary mdef writers: text -> bin payload byte-identical
+    to the SHIPPED en-us mdef (which the reference's own converter
+    produced), and full read/write cycles preserve every phone array."""
+    import numpy as np
+    from pocketsphinx_tpu.fileio.bin_mdef import (
+        read_text_mdef, write_text_mdef, write_bin_mdef)
+    txt = tmp_path / "mdef.txt"
+    write_text_mdef(mdef, str(txt))
+    head = txt.read_text().splitlines()
+    assert head[0] == "0.3"
+    assert f"{mdef.n_ciphone} n_base" in head[1]
+    t = read_text_mdef(str(txt))
+    binp = tmp_path / "mdef.bin"
+    write_bin_mdef(t, str(binp))
+    # payload (everything after the skipped header text) must equal the
+    # reference-generated shipped file byte for byte
+    def payload(p):
+        d = open(p, "rb").read()
+        hdrlen = np.frombuffer(d, "<i4", 1, 8)[0]
+        return d[12 + hdrlen:]
+    assert payload(str(binp)) == payload(str(EN_US / "mdef"))
+    m2 = read_bin_mdef(str(binp))
+    for f in ("phone_ssid", "phone_tmat", "phone_ci", "phone_lc",
+              "phone_rc", "phone_wpos", "sseq"):
+        np.testing.assert_array_equal(getattr(m2, f), getattr(mdef, f))
+    assert m2.ciname == mdef.ciname and m2.sil == mdef.sil
+
+
+def test_mdef_convert_cli(mdef, tmp_path):
+    """pocketsphinx_mdef_convert equivalent: -text and -bin modes."""
+    from pocketsphinx_tpu.cli_tools import mdef_convert_main
+    txt = tmp_path / "out.txt"
+    assert mdef_convert_main(["-text", str(EN_US / "mdef"), str(txt)]) == 0
+    assert txt.read_text().startswith("0.3\n")
+    binp = tmp_path / "out.bin"
+    assert mdef_convert_main(["-bin", str(txt), str(binp)]) == 0
+    m2 = read_bin_mdef(str(binp))
+    assert m2.n_phone == mdef.n_phone
+    # bad usage / unreadable input fail cleanly
+    assert mdef_convert_main([]) == 1
+    assert mdef_convert_main(["-text", "/nonexistent", str(txt)]) == 1
