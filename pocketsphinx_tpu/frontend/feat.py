@@ -192,8 +192,28 @@ def compute_feats_typed(cep: np.ndarray, feat_type: str = "1s_c_d_dd",
     zero-padded, featlen list)."""
     cep = apply_cmn_agc(cep, cmn, cmn_state, agc, varnorm)
     T, C = cep.shape
-    if feat_type in ("1s_c_d_dd", "1s_c_d_ld_dd", "s3_1x39"):
-        if feat_type == "s3_1x39":
+    if feat_type in ("1s_c_d_dd", "1s_c_d_ld_dd", "s3_1x39",
+                     "1s_c_d", "cep_dcep", "1s_c", "cep"):
+        if feat_type == "1s_c_d_ld_dd":
+            # c | d(+-2) | long d(+-4) | dd (feat_1s_c_d_ld_dd_cep2feat,
+            # src/feat/feat.c:625-680); window_size 4, edges replicated
+            win = 4
+            pad = np.concatenate([np.repeat(cep[:1], win, 0), cep,
+                                  np.repeat(cep[-1:], win, 0)], axis=0)
+
+            def at(off):
+                return pad[win + off:win + off + T]
+            vec = np.concatenate(
+                [at(0), at(2) - at(-2), at(4) - at(-4),
+                 (at(3) - at(-1)) - (at(1) - at(-3))],
+                axis=1).astype(np.float32)      # [T, 4*C]
+        elif feat_type in ("1s_c_d", "cep_dcep"):
+            # c | d(+-2) (feat_s3_cep_dcep, src/feat/feat.c:702)
+            st = compute_deltas(cep)
+            vec = st[:, :2].reshape(T, -1)      # [T, 2*C]
+        elif feat_type in ("1s_c", "cep"):
+            vec = cep.astype(np.float32)[:]     # [T, C]
+        elif feat_type == "s3_1x39":
             # c1-12, d1-12, c0 dc0 ddc0, dd1-12 (feat_s3_1x39_cep2feat)
             st = compute_deltas(cep)            # [T,3,13]
             c, d, dd = st[:, 0], st[:, 1], st[:, 2]

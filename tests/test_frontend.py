@@ -78,3 +78,26 @@ def test_short_utterance_single_frame():
     cep = fe.process(pcm)
     assert cep.shape == (1, 13)  # < frame_size: one zero-padded frame
     assert fe.process(np.zeros(0, np.int16)).shape[0] == 0
+
+def test_feat_types_extended():
+    """1s_c_d_ld_dd (52-dim), 1s_c_d (26), 1s_c (13) dispatch
+    (feat_init, src/feat/feat.c:705-800)."""
+    import numpy as np
+    from pocketsphinx_tpu.frontend.feat import compute_feats_typed
+    rng = np.random.RandomState(0)
+    cep = rng.randn(50, 13).astype(np.float32)
+    v4, l4 = compute_feats_typed(cep, "1s_c_d_ld_dd", cmn="none")
+    v3, l3 = compute_feats_typed(cep, "1s_c_d_dd", cmn="none")
+    v2, l2 = compute_feats_typed(cep, "1s_c_d", cmn="none")
+    v1, l1 = compute_feats_typed(cep, "1s_c", cmn="none")
+    assert (l4, l3, l2, l1) == ([52], [39], [26], [13])
+    a4, a3, a2 = v4[:, 0], v3[:, 0], v2[:, 0]
+    np.testing.assert_allclose(a4[:, :13], cep)
+    np.testing.assert_allclose(v1[:, 0], cep)
+    # short delta and dd agree with 1s_c_d_dd away from the edges
+    np.testing.assert_allclose(a4[4:-4, 13:26], a3[4:-4, 13:26])
+    np.testing.assert_allclose(a2[4:-4, 13:26], a3[4:-4, 13:26])
+    np.testing.assert_allclose(a4[4:-4, 39:52], a3[4:-4, 26:39])
+    # long delta is literally cep[t+4] - cep[t-4]
+    np.testing.assert_allclose(a4[20, 26:39], cep[24] - cep[16])
+
