@@ -436,6 +436,68 @@ class Lattice:
     # -- input ---------------------------------------------------------------
 
     @classmethod
+    def read_htk(cls, path: str, dictionary=None,
+                 frate: int = 100) -> "Lattice":
+        """Read an HTK SLF lattice (the format write_htk emits; the
+        reference writes but does not read SLF — this closes the loop).
+        `a=` scores are nats and are converted back to shifted units."""
+        lat = cls(frate=frate)
+        n_nodes = n_links = None
+        start = end = 0
+        times = {}
+        with open(path) as f:
+            for ln in f:
+                ln = ln.strip()
+                if not ln or ln.startswith("#"):
+                    continue
+                fields = dict(kv.split("=", 1) for kv in ln.split()
+                              if "=" in kv)
+                if "N" in fields and "L" in fields:
+                    n_nodes, n_links = int(fields["N"]), int(fields["L"])
+                elif "start" in fields:
+                    start = int(fields["start"])
+                elif "end" in fields:
+                    end = int(fields["end"])
+                elif "I" in fields:
+                    w = fields.get("W", "!NULL")
+                    if w == "!SENT_START":
+                        w = "<s>"
+                    elif w == "!SENT_END":
+                        w = "</s>"
+                    is_fill = w == "!NULL" or w.startswith(("<", "[", "++"))
+                    sf = int(round(float(fields.get("t", 0)) * frate))
+                    times[int(fields["I"])] = sf
+                    lat.nodes.append(LatNode(
+                        word=w, base=w.split("(")[0], sf=sf,
+                        is_fill=is_fill, id=int(fields["I"])))
+                elif "J" in fields:
+                    src, dst = int(fields["S"]), int(fields["E"])
+                    ascr = float(fields.get("a", 0.0)) / LN_BASE_SHIFTED
+                    li = len(lat.links)
+                    link = LatLink(src=src, dst=dst,
+                                   ef=lat.nodes[dst].sf - 1, ascr=ascr)
+                    if "p" in fields:
+                        p = float(fields["p"])
+                        link.post = math.log(p) if p > 0 else NEG_INF
+                    lat.links.append(link)
+                    lat.nodes[src].exits.append(li)
+                    lat.nodes[dst].entries.append(li)
+        if n_nodes is not None and len(lat.nodes) != n_nodes:
+            raise ValueError(f"{path}: node count mismatch "
+                             f"({len(lat.nodes)} != {n_nodes})")
+        if n_links is not None and len(lat.links) != n_links:
+            raise ValueError(f"{path}: link count mismatch "
+                             f"({len(lat.links)} != {n_links})")
+        if not lat.nodes:
+            raise ValueError(f"{path}: no nodes (not an SLF lattice?)")
+        lat.start, lat.end = start, end
+        lat.n_frames = max(times.values()) + 1 if times else 0
+        if lat.nodes[lat.end].is_fill:
+            lat.nodes[lat.end].base = "</s>"
+        lat._delete_unreachable()
+        return lat
+
+    @classmethod
     def read(cls, path: str, dictionary=None, frate: int = 100) -> "Lattice":
         """Read a Sphinx-III DAG file written by the reference
         (ps_lattice_read, src/ps_lattice.c:388-660) or by Lattice.write.

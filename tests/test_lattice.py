@@ -107,3 +107,24 @@ def test_fsg_lattice(decoded):
     lat = Lattice.from_flat_records(d._searches["g"])
     assert lat.n_links > 0
     d.activate_search("_default")
+
+def test_htk_roundtrip(decoded, tmp_path):
+    """write_htk -> read_htk preserves the DAG topology and bestpath."""
+    lat = decoded.get_lattice()
+    p = tmp_path / "rt.slf"
+    lat.posterior()
+    lat.write_htk(str(p))
+    lat2 = Lattice.read_htk(str(p))
+    assert 0 < len(lat2.nodes) <= len(lat.nodes)
+    lm = decoded._searches[decoded._active].lm
+    hyp1, _, _ = lat.bestpath(lm=lm)
+    hyp2, _, _ = lat2.bestpath(lm=lm)
+    assert hyp2 == hyp1
+    # posteriors survived the p= field
+    assert any(l.post > -1e29 for l in lat2.links)
+    # malformed SLF fails cleanly
+    bad = tmp_path / "bad.slf"
+    bad.write_text("just nonsense\n")
+    with pytest.raises(ValueError):
+        Lattice.read_htk(str(bad))
+
