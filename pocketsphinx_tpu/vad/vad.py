@@ -1,19 +1,24 @@
 """Voice activity detection (ps_vad_t equivalent, include/pocketsphinx/
 vad.h + src/ps_vad.c).
 
-The reference wraps the vendored WebRTC GMM VAD (src/common_audio/vad):
-a 6-band energy front end feeding per-band 2x2-component noise/speech
-GMMs with hangover logic.  This implementation keeps the same API
-surface (modes 0-3, 10/20/30 ms frames, 8/16/32/48 kHz) and decision
-structure (band energies -> adaptive noise model -> likelihood-ratio
-votes with hysteresis), built on NumPy band filtering and running noise
-percentile estimation rather than the WebRTC fixed-point tables.
-A bit-exact WebRTC port can replace `classify` without touching callers.
+The reference wraps the vendored WebRTC GMM VAD (src/common_audio/vad).
+This class keeps the exact ``ps_vad_t`` semantics:
+
+- ``sample_rate`` may be arbitrary; the classifier runs at the closest
+  supported rate (relative difference < 0.5, src/ps_vad.c:91-110) and
+  the frame size is computed at that closest rate — the audio is simply
+  *treated* as being at the closest rate, never resampled.
+- decisions come from :class:`~pocketsphinx_tpu.vad.webrtc.VadCore`,
+  a bit-exact integer reimplementation of the WebRTC GMM VAD, verified
+  frame-for-frame against the reference across all 4 modes x 3 frame
+  lengths x 4 rates.
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+from .webrtc import VadCore, valid_rate_and_frame_length
 
 # Modes (include/pocketsphinx/vad.h:62-70)
 LOOSE = 0
@@ -24,69 +29,45 @@ STRICT = 3
 DEFAULT_SAMPLE_RATE = 16000
 DEFAULT_FRAME_LENGTH = 0.03
 
-# per-mode likelihood-ratio thresholds (stricter = larger)
-_THRESH = {0: 2.0, 1: 3.0, 2: 4.5, 3: 6.5}
+_SUPPORTED_RATES = (8000, 16000, 32000, 48000)
 
 
 class Vad:
     def __init__(self, mode: int = LOOSE,
                  sample_rate: int = DEFAULT_SAMPLE_RATE,
                  frame_length: float = DEFAULT_FRAME_LENGTH):
-        if sample_rate not in (8000, 16000, 32000, 48000):
-            # closest supported, like ps_vad_init's resampling fallback
-            sample_rate = min((8000, 16000, 32000, 48000),
-                              key=lambda r: abs(r - sample_rate))
-        if round(frame_length * 1000) not in (10, 20, 30):
-            raise ValueError("frame_length must be 10, 20 or 30 ms")
+        if not sample_rate:
+            sample_rate = DEFAULT_SAMPLE_RATE
+        if not frame_length:
+            frame_length = DEFAULT_FRAME_LENGTH
+        # closest supported rate by relative difference (ps_vad.c:103-110)
+        closest, best_diff = 0, 0.5
+        for r in _SUPPORTED_RATES:
+            diff = abs(1.0 - r / sample_rate)
+            if diff < best_diff:
+                closest, best_diff = r, diff
+        if closest == 0:
+            raise ValueError(
+                f"No suitable sampling rate found for {sample_rate}")
+        frame_size = int(closest * frame_length)
+        if not valid_rate_and_frame_length(closest, frame_size):
+            raise ValueError(f"Unsupported frame length {frame_length}")
         self.mode = mode
         self.sample_rate = sample_rate
-        self.frame_length = frame_length
-        self.frame_size = int(sample_rate * frame_length)
-        self.thresh = _THRESH.get(mode, 2.0)
-        # running noise floor per band (energy domain)
-        self._noise = None
-        self._hangover = 0
-        # 6 bands ~ 80-250-500-1k-2k-3k-4k Hz (WebRTC band split)
-        edges = np.array([80, 250, 500, 1000, 2000, 3000, 4000])
-        self._edges = edges
-
-    def _band_energies(self, frame: np.ndarray) -> np.ndarray:
-        spec = np.fft.rfft(frame.astype(np.float64))
-        power = np.abs(spec) ** 2
-        freqs = np.fft.rfftfreq(len(frame), 1.0 / self.sample_rate)
-        out = np.empty(6)
-        for i in range(6):
-            m = (freqs >= self._edges[i]) & (freqs < self._edges[i + 1])
-            out[i] = power[m].sum() + 1e-10
-        return out
+        self.closest_sample_rate = closest
+        self.frame_size = frame_size
+        # ps_vad_frame_length (vad.h:178): frame_size over the *requested*
+        # rate, so endpointer timestamps stay in the caller's time base.
+        self.frame_length = frame_size / sample_rate
+        self._core = VadCore(mode)
 
     def classify(self, frame) -> bool:
         """One frame of int16 PCM (exactly frame_size samples) ->
-        speech/not-speech."""
+        speech/not-speech (ps_vad_classify)."""
         frame = np.asarray(frame)
-        if frame.dtype != np.int16 and frame.dtype.kind != "f":
+        if frame.dtype != np.int16:
             frame = frame.astype(np.int16)
         if len(frame) != self.frame_size:
             raise ValueError(
                 f"frame must be {self.frame_size} samples, got {len(frame)}")
-        e = self._band_energies(frame)
-        if self._noise is None:
-            self._noise = e.copy()
-        # likelihood ratio per band against the adaptive noise floor
-        ratio = np.log(e / self._noise)
-        score = ratio.clip(0, None).sum()
-        speech = score > self.thresh
-        # adapt noise floor: fast down, slow up; only adapt on non-speech
-        if not speech:
-            self._noise = 0.9 * self._noise + 0.1 * e
-        else:
-            self._noise = np.minimum(0.999 * self._noise + 0.001 * e,
-                                     np.maximum(self._noise, e))
-        # hangover: stretch speech decisions (WebRTC-style hysteresis)
-        if speech:
-            self._hangover = 4 if self.mode < 2 else 2
-            return True
-        if self._hangover > 0:
-            self._hangover -= 1
-            return True
-        return False
+        return self._core.process(self.closest_sample_rate, frame) > 0

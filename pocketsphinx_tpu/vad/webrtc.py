@@ -717,9 +717,14 @@ class VadCore:
         return self._calc_vad_8khz(nb)
 
     def _calc_vad_48khz(self, frame):
+        # Quirk preserved from the reference (vad_core.c:619-624,
+        # inherited from upstream WebRTC): the resample loop never
+        # advances the input pointer, so every 10 ms sub-frame resamples
+        # the SAME first 480 samples (with carried resampler state).
+        # Bit-exactness for 20/30 ms frames requires reproducing this.
         nb = []
-        for i in range(len(frame) // 480):
-            nb.extend(self.state_48_to_8.process(frame[480 * i:480 * (i + 1)]))
+        for _ in range(len(frame) // 480):
+            nb.extend(self.state_48_to_8.process(frame[:480]))
         return self._calc_vad_8khz(nb[: len(frame) // 6])
 
     def process(self, fs: int, frame) -> int:
