@@ -100,10 +100,12 @@ def _main(argv=None):
         feats_list.append(feats)
 
     results = []
+    records = []                # per-utterance decoder records (for lattices)
     if can_batch and len(utts) > 1:
         B = config["batchsize"]
         order = sorted(range(len(utts)), key=lambda i: len(feats_list[i]))
         results = [None] * len(utts)
+        records = [None] * len(utts)
         for i0 in range(0, len(order), B):
             idx = order[i0:i0 + B]
             Tmax = max(len(feats_list[i]) for i in idx)
@@ -116,17 +118,19 @@ def _main(argv=None):
             out = search.decode_batch(fb, nf)
             for k, i in enumerate(idx):
                 results[i] = out[k]
+                records[i] = search.batch_records[k]
     else:
         for i, feats in enumerate(feats_list):
             results.append(search.decode(feats))
+            records.append(getattr(search, "records", None))
 
     outlatdir = config["outlatdir"]
-    for uttid, (hyp, segs) in zip(utts, results):
+    for uttid, (hyp, segs), recs in zip(utts, results, records):
         hyp_f.write(f"{hyp} ({uttid})\n")
-        if outlatdir and hasattr(search, "records"):
+        if outlatdir and recs is not None:
             from .search.lattice import Lattice
             try:
-                lat = Lattice.from_flat_records(search)
+                lat = Lattice.from_flat_records(search, records=recs)
                 lat.write(f"{outlatdir}/{uttid}.lat")
             except Exception as e:
                 sys.stderr.write(f"WARNING: lattice for {uttid}: {e}\n")

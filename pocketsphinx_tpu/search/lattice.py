@@ -64,11 +64,16 @@ class Lattice:
     # -- construction --------------------------------------------------------
 
     @classmethod
-    def from_flat_records(cls, dec, beam: float = 1e-5) -> "Lattice":
+    def from_flat_records(cls, dec, beam: float = 1e-5,
+                          records=None) -> "Lattice":
         """Build from an NgramFlatDecoder/FsgDecoder after decode():
-        records = (escore, estf, eprw, eascr, ...)."""
+        records = (escore, estf, eprw, eascr, ...).  Pass `records`
+        explicitly for batch decodes (decode_batch keeps one tuple per
+        utterance in dec.batch_records)."""
+        if records is None:
+            records = dec.records
         escore, estf, eprw, eascr = (np.asarray(r)
-                                     for r in dec.records[:4])
+                                     for r in records[:4])
         T, W = escore.shape
         lat = cls()
         lat.n_frames = T
