@@ -217,6 +217,86 @@ class NgramModel:
         return np.stack([self.successor_row((h,))
                          for h in range(self.counts[0])])
 
+    # -- dense per-context successor tables (exact-trigram decode path) ------
+
+    def bigram_entries(self) -> tuple[np.ndarray, np.ndarray]:
+        """(h_old [n_bg], h_new [n_bg]) word ids for every level-1 (bigram)
+        entry, i.e. every explicit 2-word context the LM knows.  Entry b
+        is the trigram context (h_old[b], h_new[b])."""
+        if self.order < 2 or not len(self.lv_words[1]):
+            z = np.zeros(0, np.int64)
+            return z, z
+        return self._parents(1), self.lv_words[1].astype(np.int64)
+
+    def dense_context_rows(self, cols: np.ndarray,
+                           budget_bytes: int = 2 << 30,
+                           chunk: int = 2048):
+        """Stacked dense successor-score table for the device decoder.
+
+        cols [C]: LM word id per output column (decoder word order).
+        Returns (rows [R, C] float32 weighted scores, with_tri bool):
+
+          rows[0]        = P(col | <empty history>)        (unigram row)
+          rows[1 + h]    = P(col | h)        for h in [0, V)  (bigram rows)
+          rows[1+V + b]  = P(col | ctx_b)    for every level-1 entry b
+                           (exact trigram successor rows), present only
+                           when order >= 3 and the table fits the budget.
+
+        Every row is numerically identical (float32) to successor_row()
+        of the corresponding history: the Katz backoff recursion
+        P(w|a,b) = tg(a,b,w) if seen else bo(a,b) + P(w|b), and
+        P(w|b) = bg(b,w) if seen else bo(b) + P(w), is materialized by
+        overlaying explicit-child probabilities on broadcast backoff
+        rows (src/lm/lm_trie.c:400-414 reformulated as dense tensors)."""
+        V = self.counts[0]
+        C = len(cols)
+        cols = np.asarray(cols, dtype=np.int64)
+        n_bg = self.counts[1] if self.order >= 2 else 0
+        with_tri = (self.order >= 3 and n_bg > 0
+                    and (1 + V + n_bg) * C * 4 <= budget_bytes)
+        R = 1 + V + (n_bg if with_tri else 0)
+        rows = np.empty((R, C), dtype=np.float32)
+
+        uni = self.lv_prob[0][:V].astype(np.float32)
+        bo1 = self.lv_bo[0][:V].astype(np.float32)
+
+        def bigram_rows_fw(hs: np.ndarray) -> np.ndarray:
+            """Full-width [len(hs), V] exact P(. | h) rows."""
+            B = uni[None, :] + bo1[hs, None]
+            if n_bg:
+                nxt0 = self.lv_next[0]
+                w1 = self.lv_words[1]
+                p1 = self.lv_prob[1].astype(np.float32)
+                for i, h in enumerate(hs):
+                    beg, end = int(nxt0[h]), int(nxt0[h + 1])
+                    if beg < end:
+                        B[i, w1[beg:end]] = p1[beg:end]
+            return B
+
+        rows[0] = uni[cols]
+        all_h = np.arange(V, dtype=np.int64)
+        for h0 in range(0, V, chunk):
+            h1 = min(h0 + chunk, V)
+            rows[1 + h0:1 + h1] = bigram_rows_fw(all_h[h0:h1])[:, cols]
+        if with_tri:
+            w1 = self.lv_words[1].astype(np.int64)
+            bo2 = self.lv_bo[1].astype(np.float32)
+            par2 = self._parents(2)
+            w2 = self.lv_words[2]
+            probs2 = self.lv_prob[2].astype(np.float32)
+            nxt1 = self.lv_next[1]
+            for b0 in range(0, n_bg, chunk):
+                b1 = min(b0 + chunk, n_bg)
+                # backoff base: bigram row of the newest history word
+                T = bigram_rows_fw(w1[b0:b1]) + bo2[b0:b1, None]
+                # overlay explicit trigram children of these contexts
+                lo, hi = int(nxt1[b0]), int(nxt1[b1])
+                T[par2[lo:hi] - b0, w2[lo:hi]] = probs2[lo:hi]
+                rows[1 + V + b0:1 + V + b1] = T[:, cols]
+        rows *= np.float32(self.lw)
+        rows += np.float32(self.log_wip)
+        return rows, with_tri
+
     # -- perplexity (pocketsphinx_lm_eval equivalent) ------------------------
 
     def sentence_score(self, words: list[str], start="<s>", end="</s>"):

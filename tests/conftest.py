@@ -36,3 +36,34 @@ def require_model():
 def en_us_dir():
     require_model()
     return EN_US
+
+
+def assert_ctx_rows_exact(dec, t_stride=7, atol=0.05):
+    """After a decode: every surviving exit's carried LM context row must
+    equal the exact trie successor row of its carried (h2, h1) history —
+    the trigram-exactness contract of the dense row-table search
+    (ngram_flat._lm_tables vs src/lm/lm_trie.c walk-based scoring)."""
+    import numpy as np
+    SHIFT = 1 << 10
+    escore, _, _, _, eh1, eh2, ectx = [np.asarray(r) for r in dec.records]
+    lm, V = dec.lm, dec.V
+    rows = dec._lm_rows
+    checked = set()
+    n = 0
+    for t in range(0, escore.shape[0], t_stride):
+        for e in range(escore.shape[1]):
+            if escore[t, e] < -1e29:
+                continue
+            h1, h2, r = int(eh1[t, e]), int(eh2[t, e]), int(ectx[t, e])
+            key = (h1, h2, r)
+            if key in checked:
+                continue
+            checked.add(key)
+            hist = (h1,) if h2 >= V else (h2, h1)
+            exp = lm.successor_row(hist)[dec.col_lm] / SHIFT
+            exp = np.where(dec.is_fill, 0.0, exp)
+            np.testing.assert_allclose(
+                rows[r], exp, atol=atol,
+                err_msg=f"frame {t} exit {e} hist {hist} row {r}")
+            n += 1
+    assert n > 0

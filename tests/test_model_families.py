@@ -113,9 +113,10 @@ def test_tidigits_ngram_decode():
     assert hyp == "two nine three four zero"
 
 
-def test_large_vocab_bigram_mode():
-    """Vocabulary above TRIGRAM_CUBE_LIMIT switches to the bigram
-    transition matrix and still decodes correctly."""
+def test_large_vocab_trigram_mode():
+    """A 600+-word vocabulary (far above round 1's 300-word trigram cube
+    limit) decodes with FULL trigram context rows engaged — the dense
+    per-context row table scales O(V + n_bigrams), not O(V^2)."""
     import io
     import random
     from pocketsphinx_tpu.lm.arpabo import ArpaBoLM
@@ -147,7 +148,7 @@ def test_large_vocab_bigram_mode():
     open(tmp, "w").write(buf.getvalue())
     lm = read_arpa(tmp).apply_weights(6.5, 0.65)
     os.unlink(tmp)
-    assert lm.counts[0] > NgramFlatDecoder.TRIGRAM_CUBE_LIMIT
+    assert lm.counts[0] > 300   # round 1's trigram cube limit
     dec = NgramFlatDecoder(am, Dict2Pid(am.mdef, d), lm)
     fe = MelFrontend(nfilt=25, lowerf=130, upperf=6800, transform="dct",
                      lifter_val=22, remove_noise=True)
@@ -156,4 +157,6 @@ def test_large_vocab_bigram_mode():
     feats = compute_feats(fe.process(pcm), cmn="batch")
     hyp, _ = dec.decode(feats)
     assert hyp == "go forward ten meters"
-    assert dec._lm_cube().ndim == 2  # bigram mode engaged
+    assert dec.lm_order_used == 3   # full trigram rows engaged
+    from conftest import assert_ctx_rows_exact
+    assert_ctx_rows_exact(dec, t_stride=23)

@@ -36,6 +36,16 @@ def goforward_feats():
     return compute_feats(fe.process(pcm), cmn="batch")
 
 
+def test_trigram_context_rows_exact(decoder, goforward_feats):
+    """The carried per-state LM context row is the exact trigram
+    successor row of the carried 2-word history at every surviving exit
+    (full-trigram application, VERDICT r1 missing #1)."""
+    from conftest import assert_ctx_rows_exact
+    decoder.decode(goforward_feats)
+    assert decoder.lm_order_used == 3
+    assert_ctx_rows_exact(decoder)
+
+
 def test_goforward_hypothesis(decoder, goforward_feats):
     hyp, segs = decoder.decode(goforward_feats)
     assert hyp == "go forward ten meters"
@@ -51,3 +61,188 @@ def test_goforward_hypothesis(decoder, goforward_feats):
     assert segs[-1].end == len(goforward_feats) - 1
     for a, b in zip(segs, segs[1:]):
         assert b.start == a.end + 1
+
+
+def _host_trigram_viterbi(dec, costs):
+    """Independent NumPy replica of the device scan whose word
+    transitions are scored by DIRECT per-history trie walks
+    (NgramModel.score -> raw_score), not the dense row tables.  Used to
+    prove the row-table search is exact full-trigram Viterbi."""
+    NEG = -1e30
+    SHIFT = 1 << 10
+    P, W, V = dec.P, dec.W, dec.V
+    NST = dec.mdef.n_emit_state
+    senid = dec.senid
+    tp = np.asarray(dec.tp, np.float64)
+    pred = dec.chain_pred
+    has_pred = pred >= 0
+    predc = np.maximum(pred, 0)
+    node_word = dec.node_word
+    entry_mask = pred < 0
+    exit_node = dec.exit_node
+    exit_sil = dec.exit_node_sil
+    is_fill = dec.is_fill
+    lm_wid = np.where(dec.lm_wid >= 0, dec.lm_wid, 0)
+    is_real = ~is_fill
+    fillpen_w = np.where(
+        np.array([dec.words[i] == dec.dict.silwid for i in range(W)]),
+        dec.silpen, dec.fillpen)
+    lm = dec.lm
+    cols = dec.col_lm
+
+    row_cache = {}
+
+    def lm_row(h1, h2):
+        hist = (int(h2), int(h1)) if h2 < V else (int(h1),)
+        if hist not in row_cache:
+            r = np.array([lm.score(int(cols[w]), list(hist)) / SHIFT
+                          for w in range(W)])
+            row_cache[hist] = np.where(is_fill, 0.0, r)
+        return row_cache[hist]
+
+    S = np.full((NST, P), NEG)
+    META = {k: np.zeros((NST, P), np.int64) for k in ("h1", "h2", "stf",
+                                                      "prw")}
+    META["h2"][:] = V
+    META["prw"][:] = -1
+    s_lm = lm.wid("<s>")
+    start = dec.first_node[dec.start_idx]
+    S[0, start] = 0.0
+    META["h1"][0, start] = max(s_lm, 0)
+    T = costs.shape[0]
+    r_escore = np.empty((T, W))
+    r_estf = np.empty((T, W), np.int64)
+    r_eprw = np.empty((T, W), np.int64)
+    for t in range(T):
+        s = S + (-costs[t][senid]).T
+        lo = s[NST - 2] + tp[:, NST - 2, NST]
+        hi = s[NST - 1] + tp[:, NST - 1, NST]
+        hw = hi > lo
+        out = np.where(hw, hi, lo)
+        o = {k: np.where(hw, m[NST - 1], m[NST - 2])
+             for k, m in META.items()}
+        newS = s.copy()
+        newM = {k: m.copy() for k, m in META.items()}
+        for j in range(NST - 1, 0, -1):
+            prev = s[j - 1] + tp[:, j - 1, j]
+            self_ = s[j] + tp[:, j, j]
+            best = np.maximum(prev, self_)
+            ts = self_ > prev
+            vs = {k: np.where(ts, m[j], m[j - 1]) for k, m in META.items()}
+            if j >= 2:
+                skip = s[j - 2] + tp[:, j - 2, j]
+                tk = skip > best
+                best = np.where(tk, skip, best)
+                vs = {k: np.where(tk, META[k][j - 2], v)
+                      for k, v in vs.items()}
+            newS[j] = best
+            for k in newM:
+                newM[k][j] = vs[k]
+        newS[0] = s[0] + tp[:, 0, 0]
+        ce = np.where(has_pred, out[predc] + dec.pip, NEG)
+        cw = ce > newS[0]
+        newS[0] = np.where(cw, ce, newS[0])
+        for k in newM:
+            newM[k][0] = np.where(cw, o[k][predc], META[k][0])
+        exg = out[exit_node]
+        eh1, eh2 = o["h1"][exit_sil], o["h2"][exit_sil]
+        escore = out[exit_sil]
+        lmrow = np.stack([lm_row(eh1[e], eh2[e]) for e in range(W)])
+        trans = np.where(is_fill[None, :], exg + fillpen_w[None, :],
+                         exg + lmrow + (dec.nwpen + dec.pip))
+        ent_src = np.argmax(trans, axis=0)
+        entry = trans.max(axis=0)
+        src_h1, src_h2 = eh1[ent_src], eh2[ent_src]
+        n_h1 = np.where(is_real, lm_wid, src_h1)
+        n_h2 = np.where(is_real, src_h1, src_h2)
+        e_node = entry[node_word]
+        ewin = entry_mask & (e_node > newS[0])
+        newS[0] = np.where(ewin, e_node, newS[0])
+        newM["h1"][0] = np.where(ewin, n_h1[node_word], newM["h1"][0])
+        newM["h2"][0] = np.where(ewin, n_h2[node_word], newM["h2"][0])
+        newM["stf"][0] = np.where(ewin, t + 1, newM["stf"][0])
+        newM["prw"][0] = np.where(ewin, ent_src[node_word],
+                                  newM["prw"][0])
+        r_escore[t] = escore
+        r_estf[t] = o["stf"][exit_sil]
+        r_eprw[t] = o["prw"][exit_sil]
+        m = newS.max()
+        S = newS - m
+        META = newM
+    return r_escore, r_estf, r_eprw
+
+
+def test_trigram_exact_vs_host_viterbi():
+    """Large-vocabulary (V > 1.6k) trigram decode equals an independent
+    host Viterbi that scores every word transition by direct trie walks
+    (VERDICT r1 next-round #1 'done' criterion)."""
+    import io
+    import random
+    from pocketsphinx_tpu.lm.arpabo import ArpaBoLM
+    from pocketsphinx_tpu.lm.ngram import read_arpa
+    from pocketsphinx_tpu.models.acoustic import senone_scores_jax
+
+    require_model()
+    am = AcousticModel.load(str(EN_US))
+    full = Dictionary(am.mdef, str(EN_US.parent.parent / "en-us"
+                                   / "cmudict-en-us.dict"),
+                      str(EN_US / "noisedict"))
+    rng = random.Random(11)
+    vocab = rng.sample([w for w in list(full._index)[:30000]
+                        if w.isalpha()], 1700)
+    for w in ("go", "forward", "ten", "meters"):
+        if w not in vocab:
+            vocab.append(w)
+    sents = [" ".join(rng.sample(vocab, rng.randint(3, 7)))
+             for _ in range(4000)]
+    sents += ["go forward ten meters"] * 10
+    buf = io.StringIO()
+    ArpaBoLM(text="\n".join(sents), add_start=True).write(buf)
+    import os
+    import tempfile
+    fd, tmp = tempfile.mkstemp(suffix=".arpa")
+    os.close(fd)
+    open(tmp, "w").write(buf.getvalue())
+    lm = read_arpa(tmp).apply_weights(6.5, 0.65)
+    os.unlink(tmp)
+    assert lm.counts[0] > 1600
+    # decoder dictionary: a small word list so the host replica's
+    # W x W trie scoring stays cheap; the LM vocabulary stays large
+    sub = rng.sample(vocab, 70) + ["go", "forward", "ten", "meters"]
+    dtmp = tempfile.mkstemp(suffix=".dic")[1]
+    with open(dtmp, "w") as f:
+        for w in dict.fromkeys(sub):
+            if full.wordid(w) >= 0:
+                phones = " ".join(
+                    am.mdef.ciname[p] for p in full.pron(full.wordid(w)))
+                f.write(f"{w} {phones}\n")
+    d = Dictionary(am.mdef, dtmp, str(EN_US / "noisedict"))
+    os.unlink(dtmp)
+    dec = NgramFlatDecoder(am, Dict2Pid(am.mdef, d), lm)
+
+    fe = MelFrontend(nfilt=25, lowerf=130, upperf=6800, transform="dct",
+                     lifter_val=22, remove_noise=True)
+    pcm = np.frombuffer((DATADIR / "goforward.raw").read_bytes(),
+                        dtype="<i2")
+    feats = compute_feats(fe.process(pcm), cmn="batch")
+    costs = np.asarray(senone_scores_jax(
+        am.scoring_arrays, am.cb_groups,
+        np.asarray(feats)[None].astype(np.float32))[0], np.float64)
+
+    hyp, segs = dec.decode(feats, costs=costs.astype(np.float32))
+    assert dec.lm_order_used == 3
+    h_escore, h_estf, h_eprw = _host_trigram_viterbi(dec, costs)
+    d_escore, d_estf, d_eprw = [np.asarray(r) for r in dec.records[:3]]
+    live = (d_escore > -1e29) & (h_escore > -1e29)
+    assert (live == ((d_escore > -1e29) | (h_escore > -1e29))).all()
+    np.testing.assert_allclose(d_escore[live], h_escore[live], atol=0.1)
+    # backpointers may flip only at genuine float32-vs-float64 ties
+    # (observed rate ~2e-4); any systematic LM-score difference would
+    # blow far past this bound
+    assert ((d_estf != h_estf) & live).sum() <= 1e-3 * live.sum()
+    assert ((d_eprw != h_eprw) & live).sum() <= 1e-3 * live.sum()
+    h_hyp, h_segs = dec._backtrace((h_escore, h_estf, h_eprw),
+                                   len(costs))
+    assert hyp == h_hyp
+    assert [(s.word, s.start, s.end) for s in segs] == \
+        [(s.word, s.start, s.end) for s in h_segs]
