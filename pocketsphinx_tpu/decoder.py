@@ -481,12 +481,12 @@ class Decoder:
                                         finish_word=finish)
         if not hyp and not segs:
             return
-        lat.posterior(ascale=self.config["ascale"])
+        lat.posterior(lm=lm, ascale=self.config["ascale"])
         self._lattice = lat
         self._hyp = Hypothesis(hypstr=hyp, score=int(score))
         self._segs = [
             Segment(w, s, e, frate=self.fe.frate,
-                    prob=lat.link_posterior(w, s, e))
+                    prob=lat.node_posterior(w, s))
             for (w, s, e) in segs]
 
     def get_lattice(self):

@@ -60,6 +60,11 @@ class Lattice:
         self.frate = frate
         self.n_frames = 0
         self.norm = NEG_INF
+        # acoustic score of the implicit link exiting the final node
+        # (ps_lattice_internal.h:85); stays 0 when terminal links carry
+        # the last word's segment score (from_flat_records) or when the
+        # DAG was read from a file (ps_lattice_read leaves it 0 too)
+        self.final_node_ascr = 0.0
 
     # -- construction --------------------------------------------------------
 
@@ -196,44 +201,156 @@ class Lattice:
 
     # -- bestpath (3rd pass) -------------------------------------------------
 
+    def _real_from_wid(self, li: int, back: np.ndarray, lm) -> int:
+        """LM word id of link li's source, walking the best_prev chain
+        past fillers to the nearest real predecessor word — the
+        filler-skip walk of ps_lattice_bestpath/posterior
+        (src/ps_lattice.c:1274-1284, :1496-1506).  Returns -1 when no
+        real predecessor exists (history unusable)."""
+        n = self.nodes[self.links[li].src]
+        if not n.is_fill or self.links[li].src == self.start:
+            return lm.wid(n.base) if n.base else -1
+        p = li
+        while back[p] >= 0:
+            p = int(back[p])
+            n = self.nodes[self.links[p].src]
+            if not n.is_fill or self.links[p].src == self.start:
+                return lm.wid(n.base) if n.base else -1
+        return -1
+
+    def _link_bprob(self, li: int, back: np.ndarray, lm) -> float:
+        """Unweighted LM log prob (nats) of link li's destination word
+        given the nearest real source word — ngram_ng_prob as used for
+        the lattice alphas/betas (src/ps_lattice.c:1286-1291,
+        :1496-1499).  The end node is never treated as a filler
+        (matching the `to != dag->end` exemptions)."""
+        if lm is None:
+            return 0.0
+        l = self.links[li]
+        to = self.nodes[l.dst]
+        if (to.is_fill and l.dst != self.end) or not to.base:
+            return 0.0
+        w2 = lm.wid(to.base)
+        if w2 < 0:
+            return 0.0
+        w3 = self._real_from_wid(li, back, lm)
+        return lm.raw_score(w2, [w3] if w3 >= 0 else []) \
+            * LN_BASE_SHIFTED / SHIFT
+
     def bestpath(self, lm=None, lwf: float = 1.0, silpen: float = 0.0,
-                 fillpen: float = 0.0, finish_word: str | None = None):
-        """Forward DP over links maximizing ascr + lwf * LM(word | hist),
-        fillers bypassed for LM context (ps_lattice_bestpath).  Returns
-        (best hyp string, list of (word, sf, ef), best score)."""
+                 fillpen: float = 0.0, finish_word: str | None = None,
+                 ascale: float = 20.0):
+        """Forward link DP with full LM rescoring (ps_lattice_bestpath,
+        src/ps_lattice.c:1216-1440): start links get bg(to | <s>)
+        (:1248); every relaxation applies tg(w1 | w3, w2) with w3/w2
+        the nearest *real* predecessor words found by walking the DP's
+        own best_prev chain past fillers (:1274-1309), degrading to
+        bg(w1 | w2) when only partial context exists (:1326-1333).
+        Fillers score silpen/fillpen (0 = reference behavior, where
+        filler penalties live in the link ascr).  Also accumulates the
+        forward log-sums (link alphas, with *unweighted* bigram
+        probabilities per ngram_ng_prob) and the posterior normalizer
+        used by posterior() (:1341-1380).
+
+        Returns (best hyp string, [(word, sf, ef)], best score)."""
+        L = len(self.links)
         order = self._topo_links()
-        score = np.full(len(self.links), NEG_INF)
-        back = np.full(len(self.links), -1, dtype=np.int64)
+        score = np.full(L, NEG_INF)
+        back = np.full(L, -1, dtype=np.int64)
+        alpha = np.full(L, NEG_INF)
+        sc = LN_BASE_SHIFTED / ascale   # shifted units -> scaled nats
 
-        def lm_score(hist_base: str | None, node: LatNode) -> float:
-            if node.is_fill or lm is None:
-                return silpen if node.word == "<sil>" else fillpen
-            h = lm.wid(hist_base) if hist_base else -1
-            w = lm.wid(node.base)
-            if w < 0:
-                return fillpen
-            return lm.score(w, [h] if h >= 0 else []) / SHIFT * lwf
+        def wid_of(node: LatNode) -> int:
+            return lm.wid(node.base) if (lm is not None and node.base) \
+                else -1
 
-        # incoming LM history for a link = base word of its src node
-        for li in order:
+        def fil_pen(node: LatNode) -> float:
+            return silpen if node.word == "<sil>" else fillpen
+
+        def bg_prob(w: int, h: int) -> float:
+            """Unweighted bigram log prob in nats (ngram_ng_prob)."""
+            if lm is None or w < 0:
+                return 0.0
+            return lm.raw_score(w, [h] if h >= 0 else []) * LN_BASE_SHIFTED \
+                / SHIFT
+
+        # start links (:1239-1253)
+        start_wid = wid_of(self.nodes[self.start])
+        for li in self.nodes[self.start].exits:
             l = self.links[li]
-            src, dst = self.nodes[l.src], self.nodes[l.dst]
-            if l.src == self.start:
-                prev = l.ascr + lm_score(None, src)
-                if prev > score[li]:
-                    score[li] = prev
-                    back[li] = -1
-            for pi in src.entries:
-                p = self.links[pi]
-                if score[pi] <= NEG_INF / 2:
-                    continue
-                # LM context: predecessor's real-word chain
-                hist = self.nodes[p.src].base \
-                    if not self.nodes[p.src].is_fill else None
-                cand = score[pi] + l.ascr + lm_score(hist, src)
-                if cand > score[li]:
-                    score[li] = cand
-                    back[li] = pi
+            to = self.nodes[l.dst]
+            to_fil = to.is_fill and l.dst != self.end
+            score[li] = l.ascr
+            if lm is not None and not to_fil:
+                w = lm.wid(to.base)
+                if w >= 0:
+                    score[li] += lm.score(
+                        w, [start_wid] if start_wid >= 0 else []) \
+                        / SHIFT * lwf
+            elif to_fil:
+                score[li] += fil_pen(to)
+            alpha[li] = 0.0
+
+        def lse(a, b):
+            if a <= NEG_INF / 2:
+                return b
+            if b <= NEG_INF / 2:
+                return a
+            m = max(a, b)
+            return m + math.log1p(math.exp(min(a, b) - m))
+
+        for li in order:
+            if score[li] <= NEG_INF / 2:
+                continue
+            l = self.links[li]
+            to = self.nodes[l.dst]
+            # this link's acoustic score enters its alpha exactly once
+            # (ps_lattice.c:1293); terminal links carry the final
+            # node's segment score, so they get it too
+            alpha[li] += l.ascr * sc
+            if l.dst == self.end:
+                continue
+            # effective (w3, w2) real-word context after filler walks
+            w3 = self._real_from_wid(li, back, lm) if lm is not None \
+                else -1
+            w2 = wid_of(to)
+            w2_fil = to.is_fill and l.dst != self.end
+            bprob = self._link_bprob(li, back, lm)
+            if w2_fil:
+                # LM context passes through the filler (:1297-1309)
+                w2 = w3
+                w3 = -1  # partial context only
+            for xi in to.exits:
+                x = self.links[xi]
+                w1n = self.nodes[x.dst]
+                w1 = wid_of(w1n)
+                w1_fil = w1n.is_fill and x.dst != self.end
+                alpha[xi] = lse(alpha[xi], alpha[li] + bprob)
+                cand = score[li] + x.ascr
+                if lm is not None and not w1_fil and w1 >= 0 \
+                        and w2 >= 0:
+                    hist = [w3, w2] if w3 >= 0 else [w2]
+                    cand += lm.score(w1, hist) / SHIFT * lwf
+                elif w1_fil:
+                    cand += fil_pen(w1n)
+                if cand > score[xi]:
+                    score[xi] = cand
+                    back[xi] = li
+        # posterior normalizer: log-sum over links entering the final
+        # node of alpha + P(end word | nearest real predecessor), plus
+        # the final node's own acoustic score (ps_lattice.c:1341-1380;
+        # final_node_ascr is 0 for our from_flat_records lattices,
+        # whose terminal links carry the last word's segment score)
+        norm = NEG_INF
+        for li in self.nodes[self.end].entries:
+            if alpha[li] > NEG_INF / 2:
+                norm = lse(norm, alpha[li]
+                           + self._link_bprob(li, back, lm))
+        norm += self.final_node_ascr * sc
+        self._alpha, self._back, self.norm = alpha, back, norm
+        for li, l in enumerate(self.links):
+            l.alpha = alpha[li]
+
         # best terminal link; like ngram_search's find_exit, a final
         # </s> instance is preferred when one survives
         term_links = [li for li, l in enumerate(self.links)
@@ -247,6 +364,7 @@ class Lattice:
             if fin:
                 term_links = fin
         best = max(term_links, key=lambda li: score[li])
+        self._bestend = best
         chain = []
         li = best
         while li >= 0:
@@ -264,10 +382,20 @@ class Lattice:
 
     # -- posteriors ----------------------------------------------------------
 
-    def posterior(self, ascale: float = 20.0):
+    def posterior(self, lm=None, ascale: float = 20.0):
         """Forward-backward over links; sets link.post (log posterior,
         nats) and returns the normalizer.  Acoustic scores scaled by
-        1/ascale like ps_lattice_posterior."""
+        1/ascale and each link weighted by the unweighted bigram
+        probability of its destination word given the nearest real
+        source word, exactly like ps_lattice_posterior
+        (src/ps_lattice.c:1448-1524, bprob at :1496-1499 and the
+        filler-skip walk at :1482-1493).  Runs bestpath's forward pass
+        first when it hasn't run (the reference requires bestpath
+        before posterior, src/ngram_search.c:828-837)."""
+        if getattr(self, "_alpha", None) is None or \
+                len(self._alpha) != len(self.links):
+            self.bestpath(lm=lm, ascale=ascale)
+        alpha, back = self._alpha, self._back
         order = self._topo_links()
         sc = LN_BASE_SHIFTED / ascale   # shifted units -> scaled nats
 
@@ -279,36 +407,86 @@ class Lattice:
             m = max(a, b)
             return m + math.log1p(math.exp(min(a, b) - m))
 
-        for li in order:
-            l = self.links[li]
-            a = l.ascr * sc
-            if l.src == self.start:
-                l.alpha = a
-            total = NEG_INF
-            for pi in self.nodes[l.src].entries:
-                total = lse(total, self.links[pi].alpha)
-            if total > NEG_INF / 2:
-                l.alpha = lse(l.alpha if l.src == self.start else NEG_INF,
-                              total + a)
+        beta = np.full(len(self.links), NEG_INF)
         for li in reversed(order):
             l = self.links[li]
+            to = self.nodes[l.dst]
+            bprob = self._link_bprob(li, back, lm)
             if l.dst == self.end:
-                l.beta = 0.0
+                # imaginary exit link from the final node has beta 1.0
+                # (ps_lattice.c:1508-1510)
+                beta[li] = bprob + self.final_node_ascr * sc
+                continue
             total = NEG_INF
-            for ni in self.nodes[l.dst].exits:
-                nl = self.links[ni]
-                total = lse(total, nl.beta + nl.ascr * sc)
-            if total > NEG_INF / 2:
-                l.beta = lse(l.beta if l.dst == self.end else NEG_INF,
-                             total)
-        norm = NEG_INF
+            for xi in to.exits:
+                x = self.links[xi]
+                total = lse(total, beta[xi] + bprob + x.ascr * sc)
+            beta[li] = total
+        norm = self.norm
+        if norm <= NEG_INF / 2:
+            norm = NEG_INF
+            for li in self.nodes[self.end].entries:
+                norm = lse(norm, alpha[li] + beta[li])
+            self.norm = norm
         for li, l in enumerate(self.links):
-            if l.dst == self.end:
-                norm = lse(norm, l.alpha + l.beta)
-        self.norm = norm
-        for l in self.links:
-            l.post = l.alpha + l.beta - norm
-        return norm
+            l.beta = beta[li]
+            l.post = alpha[li] + beta[li] - norm
+        # sentence posterior P(S|O) = joint of the best path minus the
+        # normalizer (ps_lattice_joint, ps_get_prob semantics)
+        self.post = norm
+        be = getattr(self, "_bestend", -1)
+        if be >= 0:
+            jprob = self.final_node_ascr * sc
+            li = be
+            while li >= 0:
+                l = self.links[li]
+                jprob += l.ascr * sc + self._link_bprob(li, back, lm)
+                li = int(back[li]) if back[li] >= 0 else -1
+            self.post = jprob - norm
+        return self.post
+
+    def posterior_prune(self, beam: float):
+        """Remove links whose posterior is more than `beam` (negative,
+        nats) below the best, then drop unreachable nodes
+        (ps_lattice_posterior_prune, src/ps_lattice.c:1526-1567).
+        Returns the number of links pruned."""
+        if not self.links or self.links[0].post <= NEG_INF:
+            self.posterior()
+        keep = [li for li, l in enumerate(self.links)
+                if l.alpha + l.beta - self.norm >= beam
+                or l.src == self.start or l.dst == self.end]
+        npruned = len(self.links) - len(keep)
+        if not npruned:
+            return 0
+        newid = {li: i for i, li in enumerate(keep)}
+        self.links = [self.links[li] for li in keep]
+        for n in self.nodes:
+            n.entries = [newid[li] for li in n.entries if li in newid]
+            n.exits = [newid[li] for li in n.exits if li in newid]
+        self._alpha = None
+        self._delete_unreachable()
+        return npruned
+
+    def node_posterior(self, word: str, sf: int) -> float:
+        """Posterior of word starting at sf: log-sum of alpha+beta-norm
+        over ALL exit links of the node (and same-frame alternate
+        pronunciations) — the reference's per-segment probability
+        (ps_lattice_link2itor, src/ps_lattice.c:946-962)."""
+        base = word.split("(")[0]
+        total = NEG_INF
+        for n in self.nodes:
+            if n.sf != sf or n.base != base:
+                continue
+            for li in n.exits:
+                p = self.links[li].post
+                if p <= NEG_INF / 2:
+                    continue
+                if total <= NEG_INF / 2:
+                    total = p
+                else:
+                    m = max(total, p)
+                    total = m + math.log1p(math.exp(min(total, p) - m))
+        return min(math.exp(total), 1.0) if total > NEG_INF / 2 else 0.0
 
     def link_posterior(self, word: str, sf: int, ef: int) -> float:
         """Posterior probability of a specific word segment (sums over
@@ -326,26 +504,73 @@ class Lattice:
 
     # -- N-best (A*) ---------------------------------------------------------
 
-    def nbest(self, n: int, lm=None, lwf: float = 1.0):
-        """A* search over links; yields up to n (hyp, score) in
-        descending score order (ps_astar_start/next/hyp)."""
+    def nbest(self, n: int, lm=None, lwf: float = 1.0,
+              silpen: float = 0.0, fillpen: float = 0.0):
+        """A* search over links with REAL n-gram path scoring
+        (ps_astar_start/next/hyp, src/ps_lattice.c:1673-1850): each
+        extension to word w1 scores lwf * tg(w1 | w3, w2) over the
+        path's carried real-word history (bg for the first extension,
+        :1673-1692), and the admissible remaining-score heuristic is
+        the reverse bigram DP of best_rem_score (:1580-1606).  The
+        reference's DAG bypasses fillers before A*; ours keeps filler
+        nodes, so fillers score silpen/fillpen and pass the LM history
+        through unchanged — the same net path score.
+
+        Yields up to n (hyp, score) in descending score order."""
         import heapq
-        # heuristic: best remaining score from each node to the end
         order = self._topo_links()
+
+        def wid_of(nid: int) -> int:
+            node = self.nodes[nid]
+            if lm is None or not node.base:
+                return -1
+            return lm.wid(node.base)
+
+        def is_fil(nid: int) -> bool:
+            return self.nodes[nid].is_fill and nid != self.end \
+                and nid != self.start
+
+        def fil_pen(nid: int) -> float:
+            return silpen if self.nodes[nid].word == "<sil>" else fillpen
+
+        def lm_ext(w1: int, h1: int, h2: int) -> float:
+            """lwf-weighted LM score of extending history (h2, h1)
+            with w1 (shifted units)."""
+            if lm is None or w1 < 0:
+                return 0.0
+            hist = [h2, h1] if h2 >= 0 else ([h1] if h1 >= 0 else [])
+            return lm.score(w1, hist) / SHIFT * lwf
+
+        # heuristic: best remaining score from each node to the end,
+        # using bigram LM like best_rem_score (src/ps_lattice.c:1590)
         rem = np.full(len(self.nodes), NEG_INF)
         rem[self.end] = 0.0
         for li in reversed(order):
             l = self.links[li]
-            cand = l.ascr + rem[l.dst]
-            if cand > rem[l.src]:
-                rem[l.src] = cand
-        # search states: (-(g+h), counter, node, g, path)
+            if rem[l.dst] <= NEG_INF / 2:
+                continue
+            step = l.ascr + rem[l.dst]
+            if is_fil(l.dst):
+                step += fil_pen(l.dst)
+            else:
+                w = wid_of(l.dst)
+                h = wid_of(l.src)
+                if w >= 0:
+                    step += lm.score(w, [h] if h >= 0 else []) \
+                        / SHIFT * lwf
+            if step > rem[l.src]:
+                rem[l.src] = step
+
+        # search states: (-(g+h), counter, node, g, h1, h2, path);
+        # (h1, h2) = carried real-word LM history
         cnt = 0
-        heap = [(-(0.0 + rem[self.start]), cnt, self.start, 0.0, ())]
+        h0 = wid_of(self.start)
+        heap = [(-(0.0 + rem[self.start]), cnt, self.start, 0.0,
+                 h0, -1, ())]
         results = []
         seen = set()
         while heap and len(results) < n:
-            negf, _, nid, g, path = heapq.heappop(heap)
+            negf, _, nid, g, h1, h2, path = heapq.heappop(heap)
             if nid == self.end:
                 words = tuple(self.nodes[self.links[li].src].base
                               for li in path
@@ -356,16 +581,19 @@ class Lattice:
                 continue
             for li in self.nodes[nid].exits:
                 l = self.links[li]
-                lscr = 0.0
-                if lm is not None and not self.nodes[l.src].is_fill:
-                    w = lm.wid(self.nodes[l.src].base)
-                    if w >= 0:
-                        # unigram-ish heuristic LM for ordering
-                        lscr = lm.raw_score(w, []) / SHIFT * lwf
-                g2 = g + l.ascr + lscr
+                g2 = g + l.ascr
+                n1, n2 = h1, h2
+                if l.dst != self.end:
+                    if is_fil(l.dst):
+                        g2 += fil_pen(l.dst)
+                    else:
+                        w1 = wid_of(l.dst)
+                        g2 += lm_ext(w1, h1, h2)
+                        if w1 >= 0:
+                            n1, n2 = w1, h1
                 cnt += 1
-                heapq.heappush(heap, (-(g2 + rem[l.dst]), cnt, l.dst, g2,
-                                      path + (li,)))
+                heapq.heappush(heap, (-(g2 + rem[l.dst]), cnt, l.dst,
+                                      g2, n1, n2, path + (li,)))
         return results
 
     # -- output --------------------------------------------------------------
