@@ -100,45 +100,72 @@ class NgramFlatDecoder:
         self.start_idx = None
         self.finish_idx = None
 
-        # Build phone chains (shared builder; see models/chains.py).
-        from ..models.chains import ChainRows, append_word_chain
+        # Build phone chains with exact cross-word triphones on both
+        # boundaries (mpx first phones; see models/chains.py).
+        from ..models.chains import ChainRows, append_word_chain_mpx
         rows = ChainRows()
+        n_ci = mdef.n_ciphone
         first_node = np.zeros(W, np.int32)
-        self.n_class = np.zeros(W, np.int32)
-        final_base = np.zeros(W, np.int32)
-        cls_map = np.zeros((W, mdef.n_ciphone), np.int16)
         f0_arr = np.zeros(W, np.int32)
+        fb_ci = np.zeros(W, np.int32)      # final base CI phone per word
+        chains = []
+        slot_base = np.zeros(W + 1, np.int64)
         for i, wid in enumerate(words):
             f0_arr[i] = int(d.pron(wid)[0])
-            fn, fb, nc, cr = append_word_chain(rows, d, mdef, d2p, wid, i,
-                                               mdef.n_ciphone)
-            first_node[i] = fn
-            final_base[i] = fb
-            self.n_class[i] = nc
-            cls_map[i] = cr
-        senid_rows = rows.senid
-        tmat_rows = rows.tmat
-        chain_pred = rows.chain_pred
-        node_word = rows.owner
-
-        P = len(senid_rows)
+            ch = append_word_chain_mpx(rows, d, mdef, d2p, wid, i, n_ci)
+            chains.append(ch)
+            first_node[i] = ch.first_lo
+            fb_ci[i] = ch.final_base_ci
+            slot_base[i + 1] = slot_base[i] + ch.n_slot
+        P = len(rows)
         self.P = P
-        self.senid = np.asarray(senid_rows, dtype=np.int32)
-        tmatid = np.asarray(tmat_rows, dtype=np.int32)
+        n_slot = int(slot_base[W])
+        self.n_slot = n_slot
+        self.senid = np.asarray(rows.senid, dtype=np.int32)
+        tmatid = np.asarray(rows.tmat, dtype=np.int32)
         tpc = self.am.tmat.tp[tmatid].astype(np.float32)
         self.tp = np.where(tpc == 255, NEG_INF, -tpc)
-        self.chain_pred = np.asarray(chain_pred, dtype=np.int32)
-        self.node_word = np.asarray(node_word, dtype=np.int32)
+        chain_pred = np.asarray(rows.chain_pred, dtype=np.int32)
+        self.chain_pred = chain_pred
+        self.node_word = np.asarray(rows.owner, dtype=np.int32)
         self.first_node = first_node
-        self.final_base = final_base
-        # exit node for (word i, entering word k): final_base[i] +
-        # cls_map[i, f0(k)] mapped through the word's class set
-        self.exit_node = (final_base[:, None]
-                          + cls_map[np.arange(W)[:, None],
-                                    f0_arr[None, :]].astype(np.int32))
-        # any-class exit (for final hyp / lattice): the SIL class
-        sil_cls = cls_map[np.arange(W), sil]
-        self.exit_node_sil = final_base + sil_cls.astype(np.int32)
+        self.fb_ci = fb_ci
+        self.f0_arr = f0_arr
+
+        # group-predecessor nodes (-2): predecessor is the whole
+        # first-variant group of their word; fg_id names that group
+        self.pred_is_group = chain_pred == -2
+        self.fg_id = np.full(P, W, np.int64)       # W = no group
+        # entry masks [P, n_ci]: node accepts word entries from sources
+        # whose final base CI phone is set
+        entry_mask = np.zeros((P, n_ci), bool)
+        # exit slots: final-phone nodes -> global slot id (n_slot = none)
+        node_slot = np.full(P, n_slot, np.int64)
+        # per-word map entering-word -> slot offset, and word of slots
+        exit_slot = np.zeros((W, W), np.int32)
+        self.slot_word = np.zeros(n_slot, np.int32)
+        for i, ch in enumerate(chains):
+            if ch.filler:
+                entry_mask[ch.first_lo, :] = True
+            elif ch.single:
+                n_rc = ch.n_slot
+                for o in range(ch.first_hi - ch.first_lo):
+                    entry_mask[ch.first_lo + o] = ch.lc_cls == (o // n_rc)
+            else:
+                self.fg_id[ch.first_lo:ch.first_hi] = i
+                for o in range(ch.first_hi - ch.first_lo):
+                    entry_mask[ch.first_lo + o] = ch.lc_cls == o
+            for node, so in ch.final_nodes:
+                node_slot[node] = slot_base[i] + so
+                self.slot_word[slot_base[i] + so] = i
+            exit_slot[i] = slot_base[i] + ch.rc_cls[f0_arr]
+        self.entry_mask = entry_mask
+        self.node_slot = node_slot
+        self.exit_slot = exit_slot
+        # any-context exit slot (records/lattice): the SIL rc class
+        self.exit_slot_sil = np.array(
+            [slot_base[i] + chains[i].rc_cls[sil] for i in range(W)],
+            np.int32)
 
         if d.startwid in self.widx:
             self.start_idx = self.widx[d.startwid]
@@ -217,18 +244,22 @@ class NgramFlatDecoder:
         from ..ops.hmm import hmm_step_sm
 
         P, W, V = self.P, self.W, self.V
+        n_slot = self.n_slot
+        n_ci = self.mdef.n_ciphone
         NST = self.mdef.n_emit_state
         senid_flat = jnp.asarray(self.senid.reshape(-1))
         tp = jnp.asarray(self.tp)                      # [P, NST, NST+1]
         chain_pred = jnp.asarray(np.maximum(self.chain_pred, 0))
         has_pred = jnp.asarray(self.chain_pred >= 0)
-        entry_nodes = np.nonzero(self.chain_pred < 0)[0]
-        entry_words = self.node_word[entry_nodes]
-        # dense entry map: for each node, its word if it is an entry node
-        entry_mask = jnp.asarray(self.chain_pred < 0)
+        pred_grp = jnp.asarray(self.pred_is_group)
+        fg_id = jnp.asarray(self.fg_id)                # [P] word or W
+        is_entry = jnp.asarray(self.chain_pred == -1)
+        entry_mask_T = jnp.asarray(self.entry_mask.T)  # [n_ci, P]
         node_word_j = jnp.asarray(self.node_word)
-        exit_node = jnp.asarray(self.exit_node)        # [W, W]
-        exit_node_sil = jnp.asarray(self.exit_node_sil)
+        node_slot = jnp.asarray(self.node_slot)        # [P] slot or n_slot
+        exit_slot = jnp.asarray(self.exit_slot)        # [W, W]
+        exit_slot_sil = jnp.asarray(self.exit_slot_sil)
+        fb_id = jnp.asarray(self.fb_ci.astype(np.int64))   # [W] -> ci
         lm_rows_np, ctx_next_np = self._lm_tables()
         lm_rows = jnp.asarray(lm_rows_np)              # [R, W]
         ctx_next_tab = jnp.asarray(ctx_next_np)        # [V+1, W]
@@ -239,6 +270,17 @@ class NgramFlatDecoder:
             jnp.asarray([self.words[i] == self.dict.silwid
                          for i in range(W)]),
             self.silpen, self.fillpen)
+        idxP = jnp.arange(P)
+        idxW = jnp.arange(W)
+
+        def seg_max_arg(data, seg, num):
+            """(segment max, index of its first attainer) — the dense
+            segment-argmax used to pull winner metadata out of a
+            segment ([P] data)."""
+            m = jax.ops.segment_max(data, seg, num_segments=num)
+            cand = jnp.where(data >= m[seg], idxP, P)
+            a = jax.ops.segment_min(cand, seg, num_segments=num)
+            return m, jnp.minimum(a, P - 1)
 
         def step(carry, xs):
             S, STF, RW1, RW2, PRW, ENTV, CTX = carry   # tuples of [P]
@@ -247,13 +289,17 @@ class NgramFlatDecoder:
                 (o_stf, o_rw1, o_rw2, o_prw, o_entv, o_ctx) = hmm_step_sm(
                     S, tuple(sen_t[j] for j in range(NST)), tp,
                     metas=(STF, RW1, RW2, PRW, ENTV, CTX))
-            # intra-word chain entry (from predecessor phone's exit)
-            chain_entry = jnp.where(has_pred, out[chain_pred] + self.pip,
-                                    NEG_INF)
+            # intra-word chain entry: single predecessor, or max over
+            # the word's first-phone variant group (mpx fan-in)
+            gmax, garg = seg_max_arg(out, fg_id, W + 1)
+            ce_plain = jnp.where(has_pred, out[chain_pred], NEG_INF)
+            chain_entry = jnp.where(pred_grp, gmax[node_word_j],
+                                    ce_plain) + self.pip
+            src_node = jnp.where(pred_grp, garg[node_word_j], chain_pred)
             ch_win = chain_entry > newS[0]
 
             def chw(newv, oldv):
-                return jnp.where(ch_win, newv[chain_pred], oldv)
+                return jnp.where(ch_win, newv[src_node], oldv)
             s0 = jnp.where(ch_win, chain_entry, newS[0])
             stf0 = chw(o_stf, nSTF[0])
             rw10 = chw(o_rw1, nRW1[0])
@@ -262,15 +308,23 @@ class NgramFlatDecoder:
             entv0 = chw(o_entv, nENTV[0])
             ctx0 = chw(o_ctx, nCTX[0])
 
-            # word exits
-            exg = out[exit_node]                          # [W, W]
-            eh1 = o_rw1[exit_node_sil]                    # [W]
-            eh2 = o_rw2[exit_node_sil]
-            ectx = o_ctx[exit_node_sil]                   # [W]
-            estf = o_stf[exit_node_sil]
-            eprw = o_prw[exit_node_sil]
-            escore = out[exit_node_sil]
-            eascr = escore - o_entv[exit_node_sil]
+            # word exits: per-slot best (rc-class fan, with single-phone
+            # words reduced over their lc variants), plus per-word best
+            # for the records/history (the bptable's one-entry-per-word
+            # semantics, src/ngram_search.c:378-500)
+            sv = jax.ops.segment_max(out, node_slot,
+                                     num_segments=n_slot + 1)
+            wseg = jnp.where(node_slot < n_slot, node_word_j, W)
+            wbest, warg = seg_max_arg(out, wseg, W + 1)
+            escore = wbest[:W]
+            wnode = warg[:W]
+            eh1 = o_rw1[wnode]                            # [W]
+            eh2 = o_rw2[wnode]
+            ectx = o_ctx[wnode]
+            estf = o_stf[wnode]
+            eprw = o_prw[wnode]
+            eascr = escore - o_entv[wnode]
+            exg = sv[exit_slot]                           # [W, W]
             # exact n-gram scores for every (exiting e -> entering w):
             # one row gather per exit, keyed by the carried history-class
             # row (full trigram when the table has context rows)
@@ -278,27 +332,35 @@ class NgramFlatDecoder:
             trans = jnp.where(is_fill[None, :],
                               exg + fillpen_w[None, :],
                               exg + lmrow + (self.nwpen + self.pip))
-            ent_src = jnp.argmax(trans, axis=0)           # [W]
-            entry = jnp.max(trans, axis=0)
-            src_rw1 = eh1[ent_src]
-            src_rw2 = eh2[ent_src]
-            new_rw1 = jnp.where(is_real, lm_wid, src_rw1)
-            new_rw2 = jnp.where(is_real, src_rw1, src_rw2)
+            # reduce sources by their final base CI phone, then select
+            # per entry node through its left-context-class mask
+            tbf = jax.ops.segment_max(trans, fb_id, num_segments=n_ci)
+            candf = jnp.where(trans >= tbf[fb_id], idxW[:, None], W)
+            argf = jnp.minimum(
+                jax.ops.segment_min(candf, fb_id, num_segments=n_ci),
+                W - 1)                                    # [n_ci, W]
+            tv = jnp.where(entry_mask_T, tbf[:, node_word_j], NEG_INF)
+            e_node = jnp.max(tv, axis=0)                  # [P]
+            ci_star = jnp.argmax(tv, axis=0)              # [P]
+            e_star = argf[ci_star, node_word_j]           # [P] source word
+            src_rw1 = eh1[e_star]
+            src_rw2 = eh2[e_star]
+            w_real = is_real[node_word_j]
+            new_rw1 = jnp.where(w_real, lm_wid[node_word_j], src_rw1)
+            new_rw2 = jnp.where(w_real, src_rw1, src_rw2)
             # carried history class after the transition: trigram ctx
             # (h1_prev, w) for real words, source's class for fillers
             new_ctx = jnp.where(
-                is_real, ctx_next_tab[src_rw1, jnp.arange(W)],
-                ectx[ent_src])
-            # apply word entries at entry nodes (dense per-node select)
-            e_node = entry[node_word_j]                   # [P]
-            ewin = entry_mask & (e_node > s0)
+                w_real, ctx_next_tab[src_rw1, node_word_j],
+                ectx[e_star])
+            ewin = is_entry & (e_node > s0)
             s0 = jnp.where(ewin, e_node, s0)
             stf0 = jnp.where(ewin, t + 1, stf0)
-            rw10 = jnp.where(ewin, new_rw1[node_word_j], rw10)
-            rw20 = jnp.where(ewin, new_rw2[node_word_j], rw20)
-            prw0 = jnp.where(ewin, ent_src[node_word_j], prw0)
+            rw10 = jnp.where(ewin, new_rw1, rw10)
+            rw20 = jnp.where(ewin, new_rw2, rw20)
+            prw0 = jnp.where(ewin, e_star, prw0)
             entv0 = jnp.where(ewin, e_node, entv0)
-            ctx0 = jnp.where(ewin, new_ctx[node_word_j], ctx0)
+            ctx0 = jnp.where(ewin, new_ctx, ctx0)
             newS = (s0,) + newS[1:]
             m = jnp.maximum(jnp.max(jnp.stack([jnp.max(x) for x in newS])),
                             NEG_INF)

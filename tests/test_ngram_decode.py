@@ -49,13 +49,14 @@ def test_trigram_context_rows_exact(decoder, goforward_feats):
 def test_goforward_hypothesis(decoder, goforward_feats):
     hyp, segs = decoder.decode(goforward_feats)
     assert hyp == "go forward ten meters"
-    # segmentation close to the reference CLI output
-    # (go 46-63, forward 64-120, ten 121-152, meters 153-211)
+    # segmentation FRAME-EXACT vs the reference CLI output (golden
+    # hyp.json: go .46-.64, forward .64-1.21, ten 1.21-1.53, meters
+    # 1.53-2.12) — exactness requires the mpx left-context triphones
     by_word = {s.word: s for s in segs}
-    assert abs(by_word["go"].start - 46) <= 2
-    assert abs(by_word["forward"].start - 64) <= 2
-    assert abs(by_word["ten"].start - 121) <= 2
-    assert abs(by_word["meters"].start - 153) <= 3
+    assert (by_word["go"].start, by_word["go"].end) == (46, 63)
+    assert (by_word["forward"].start, by_word["forward"].end) == (64, 120)
+    assert (by_word["ten"].start, by_word["ten"].end) == (121, 152)
+    assert (by_word["meters"].start, by_word["meters"].end) == (153, 211)
     # segments tile the utterance
     assert segs[0].start == 0
     assert segs[-1].end == len(goforward_feats) - 1
@@ -71,17 +72,31 @@ def _host_trigram_viterbi(dec, costs):
     NEG = -1e30
     SHIFT = 1 << 10
     P, W, V = dec.P, dec.W, dec.V
+    n_slot = dec.n_slot
+    n_ci = dec.mdef.n_ciphone
     NST = dec.mdef.n_emit_state
     senid = dec.senid
     tp = np.asarray(dec.tp, np.float64)
     pred = dec.chain_pred
     has_pred = pred >= 0
     predc = np.maximum(pred, 0)
+    pred_grp = dec.pred_is_group
+    fg_id = dec.fg_id
     node_word = dec.node_word
-    entry_mask = pred < 0
-    exit_node = dec.exit_node
-    exit_sil = dec.exit_node_sil
+    is_entry = pred == -1
+    entry_mask = dec.entry_mask        # [P, n_ci]
+    node_slot = dec.node_slot
+    exit_slot = dec.exit_slot
+    fb_id = dec.fb_ci
     is_fill = dec.is_fill
+
+    def seg_max_arg(data, seg, num):
+        m = np.full(num, NEG)
+        np.maximum.at(m, seg, data)
+        cand = np.where(data >= m[seg], np.arange(len(data)), len(data))
+        a = np.full(num, len(data))
+        np.minimum.at(a, seg, cand)
+        return m, np.minimum(a, len(data) - 1)
     lm_wid = np.where(dec.lm_wid >= 0, dec.lm_wid, 0)
     is_real = ~is_fill
     fillpen_w = np.where(
@@ -139,33 +154,49 @@ def _host_trigram_viterbi(dec, costs):
             for k in newM:
                 newM[k][j] = vs[k]
         newS[0] = s[0] + tp[:, 0, 0]
-        ce = np.where(has_pred, out[predc] + dec.pip, NEG)
+        gmax, garg = seg_max_arg(out, fg_id, W + 1)
+        ce = np.where(pred_grp, gmax[node_word],
+                      np.where(has_pred, out[predc], NEG)) + dec.pip
+        src_node = np.where(pred_grp, garg[node_word], predc)
         cw = ce > newS[0]
         newS[0] = np.where(cw, ce, newS[0])
         for k in newM:
-            newM[k][0] = np.where(cw, o[k][predc], META[k][0])
-        exg = out[exit_node]
-        eh1, eh2 = o["h1"][exit_sil], o["h2"][exit_sil]
-        escore = out[exit_sil]
+            newM[k][0] = np.where(cw, o[k][src_node], META[k][0])
+        # exits: per-slot best + per-word best for the records/history
+        sv = np.full(n_slot + 1, NEG)
+        np.maximum.at(sv, node_slot, out)
+        wseg = np.where(node_slot < n_slot, node_word, W)
+        wbest, warg = seg_max_arg(out, wseg, W + 1)
+        escore = wbest[:W]
+        wnode = warg[:W]
+        eh1, eh2 = o["h1"][wnode], o["h2"][wnode]
+        exg = sv[exit_slot]
         lmrow = np.stack([lm_row(eh1[e], eh2[e]) for e in range(W)])
         trans = np.where(is_fill[None, :], exg + fillpen_w[None, :],
                          exg + lmrow + (dec.nwpen + dec.pip))
-        ent_src = np.argmax(trans, axis=0)
-        entry = trans.max(axis=0)
-        src_h1, src_h2 = eh1[ent_src], eh2[ent_src]
-        n_h1 = np.where(is_real, lm_wid, src_h1)
-        n_h2 = np.where(is_real, src_h1, src_h2)
-        e_node = entry[node_word]
-        ewin = entry_mask & (e_node > newS[0])
+        tbf = np.full((n_ci, W), NEG)
+        np.maximum.at(tbf, fb_id, trans)
+        candf = np.where(trans >= tbf[fb_id], np.arange(W)[:, None], W)
+        argf = np.full((n_ci, W), W)
+        np.minimum.at(argf, fb_id, candf)
+        argf = np.minimum(argf, W - 1)
+        tv = np.where(entry_mask.T, tbf[:, node_word], NEG)
+        e_node = tv.max(axis=0)
+        ci_star = tv.argmax(axis=0)
+        e_star = argf[ci_star, node_word]
+        src_h1, src_h2 = eh1[e_star], eh2[e_star]
+        w_real = is_real[node_word]
+        n_h1 = np.where(w_real, lm_wid[node_word], src_h1)
+        n_h2 = np.where(w_real, src_h1, src_h2)
+        ewin = is_entry & (e_node > newS[0])
         newS[0] = np.where(ewin, e_node, newS[0])
-        newM["h1"][0] = np.where(ewin, n_h1[node_word], newM["h1"][0])
-        newM["h2"][0] = np.where(ewin, n_h2[node_word], newM["h2"][0])
+        newM["h1"][0] = np.where(ewin, n_h1, newM["h1"][0])
+        newM["h2"][0] = np.where(ewin, n_h2, newM["h2"][0])
         newM["stf"][0] = np.where(ewin, t + 1, newM["stf"][0])
-        newM["prw"][0] = np.where(ewin, ent_src[node_word],
-                                  newM["prw"][0])
+        newM["prw"][0] = np.where(ewin, e_star, newM["prw"][0])
         r_escore[t] = escore
-        r_estf[t] = o["stf"][exit_sil]
-        r_eprw[t] = o["prw"][exit_sil]
+        r_estf[t] = o["stf"][wnode]
+        r_eprw[t] = o["prw"][wnode]
         m = newS.max()
         S = newS - m
         META = newM
