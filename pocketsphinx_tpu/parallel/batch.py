@@ -70,6 +70,7 @@ class BatchDecodePipeline:
         from ..frontend.feat import compute_feats_jax
 
         dp = self.data_parallelism
+        tp = self.mesh.shape.get("model", 1)
         B = batch_size or max(dp, 8 * dp)
         B = (B // dp) * dp or dp
         order = sorted(range(len(pcm_list)), key=lambda i: len(pcm_list[i]))
@@ -77,15 +78,32 @@ class BatchDecodePipeline:
         sharding = NamedSharding(self.mesh, P("data"))
 
         scan = self.search._make_scan()
-        arrays = self.search.am.scoring_arrays
+        arrays = dict(self.search.am.scoring_arrays)
         groups = self.search.am.cb_groups
         fe = self.fe
+        if tp > 1:
+            # TP: shard the mixture-weight table on the senone axis; the
+            # per-frame senone cost vector is gathered back to "data"-only
+            # sharding by the constraint below (XLA all-gather over ICI)
+            pad = (-arrays["w_lin"].shape[-1]) % tp
+            if pad:
+                arrays["w_lin"] = np.pad(arrays["w_lin"],
+                                         [(0, 0)] * (arrays["w_lin"].ndim - 1)
+                                         + [(0, pad)])
+            arrays["w_lin"] = jax.device_put(
+                arrays["w_lin"],
+                NamedSharding(self.mesh,
+                              P(*([None] * (arrays["w_lin"].ndim - 1)
+                                  + ["model"]))))
+        cost_spec = NamedSharding(self.mesh, P("data", None, None))
+        n_sen = self.search.am.scoring_arrays["w_lin"].shape[-1]
 
         @jax.jit
         def run(pcm_batch, n_samps):
             cep, nfr = fe.process_batch_jax(pcm_batch, n_samps)
             feats = compute_feats_jax(cep, nfr, cmn=self.cmn)
-            costs = senone_scores_jax(arrays, groups, feats)
+            costs = senone_scores_jax(arrays, groups, feats)[..., :n_sen]
+            costs = jax.lax.with_sharding_constraint(costs, cost_spec)
             T = costs.shape[1]
             valid = jnp.arange(T)[None, :] < nfr[:, None]
             recs = jax.vmap(scan)(costs, valid)
@@ -108,7 +126,7 @@ class BatchDecodePipeline:
                 nfr = np.asarray(nfr)
                 for k, i in enumerate(idx):
                     # vmapped records are stacked [B, T, ...]
-                    self.search.records = tuple(r[k] for r in recs)
+                    per_utt = tuple(r[k] for r in recs)
                     results[i] = self.search._backtrace(
-                        self.search.records, int(nfr[k]))
+                        per_utt, int(nfr[k]))
         return results
