@@ -48,12 +48,45 @@ def format_seg(seg):
             "p": round(seg.prob, 3), "t": seg.word}
 
 
+def output_backtrace(decoder, stream=sys.stderr):
+    """-backtrace: reference-format per-word result table + xRT lines
+    (src/pocketsphinx.c:1341-1367, src/ngram_search.c:866-871)."""
+    hyp = decoder.hyp()
+    if hyp is None:
+        return
+    stream.write(f"INFO: {hyp.hypstr} ({int(hyp.score)})\n")
+    stream.write(f"INFO: {'word':<20} {'start':<5} {'end':<5} "
+                 f"{'pprob':<5} {'ascr':<10} {'lscr':<10} {'lback':<3}\n")
+    for s in decoder.seg_iter():
+        stream.write(
+            f"INFO: {s.word:<20} {s.start_frame:<5d} {s.end_frame:<5d} "
+            f"{s.prob:<1.3f} {int(s.ascore):<10d} {int(s.lscore):<10d} "
+            f"{1:<3d}\n")
+    ns, cpu, wall = decoder.get_utt_time()
+    if ns > 0:
+        stream.write(f"INFO: decode {cpu:.2f} CPU {cpu / ns:.3f} xRT\n")
+        stream.write(f"INFO: decode {wall:.2f} wall "
+                     f"{wall / ns:.3f} xRT\n")
+
+
+def output_total_xrt(decoder, stream=sys.stderr):
+    """TOTAL xRT summary like the per-search free() logs
+    (e.g. src/fsg_search.c:267-271)."""
+    ns, cpu, wall = decoder.get_all_time()
+    if ns > 0:
+        stream.write(f"INFO: TOTAL decode {cpu:.2f} CPU "
+                     f"{cpu / ns:.3f} xRT\n")
+        stream.write(f"INFO: TOTAL decode {wall:.2f} wall "
+                     f"{wall / ns:.3f} xRT\n")
+
+
 def output_hyp(decoder, stream=sys.stdout):
     hyp = decoder.hyp()
     segs = list(decoder.seg_iter())
     b = segs[0].start if segs else 0.0
     d = (segs[-1].start + segs[-1].duration - b) if segs else 0.0
-    doc = {"b": round(b, 3), "d": round(d, 3), "p": 1.0,
+    doc = {"b": round(b, 3), "d": round(d, 3),
+           "p": round(hyp.prob, 3) if hyp else 1.0,
            "t": hyp.hypstr if hyp else "",
            "w": [format_seg(s) for s in segs]}
     stream.write(json.dumps(doc) + "\n")
@@ -143,7 +176,11 @@ def _main(argv=None):
         if hyp is None:
             sys.stderr.write(f"Recognition failed on {args[0]}\n")
             return 1
+        if config["backtrace"]:
+            output_backtrace(dec)
         output_hyp(dec)
+        if config["loglevel"] in ("INFO", "DEBUG"):
+            output_total_xrt(dec)
         return 0
 
     if command == "align":

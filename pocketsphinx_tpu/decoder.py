@@ -93,6 +93,15 @@ class Decoder:
         self._costs = None
         self._feats = None
 
+        # xRT timing + work counters (ps->perf / ngram_search_stats_t;
+        # see profile.py)
+        from .profile import Timer, DecodeStats, PerfReport
+        self.perf = Timer("decode")
+        self.stage_timers = {k: Timer(k) for k in
+                             ("frontend", "search", "bestpath")}
+        self.all_perf = PerfReport()
+        self.stats = DecodeStats()
+
         if mode == "lm":
             self.add_lm("_default", config["lm"])
             self.activate_search("_default")
@@ -374,24 +383,31 @@ class Decoder:
             return
         if not self._raw:
             return
+        self.perf.reset()
+        for t in self.stage_timers.values():
+            t.reset()
+        self.perf.start()
         pcm = np.concatenate(self._raw)
-        cep = self.fe.process(pcm)
-        from .frontend.feat import compute_feats_typed
-        lda = None
-        if self.config["lda"]:
-            from .fileio import read_lda
-            if not hasattr(self, "_lda"):
-                self._lda = read_lda(self.config["lda"])
-            lda = self._lda
-        feats, featlen = compute_feats_typed(
-            cep, feat_type=self.config["feat"],
-            svspec=self.config["svspec"],
-            cmn=self.config["cmn"], cmn_state=self.cmn_state,
-            agc=self.config["agc"], varnorm=self.config["varnorm"],
-            lda=lda, ldadim=self.config["ldadim"])
+        with self.stage_timers["frontend"]:
+            cep = self.fe.process(pcm)
+            from .frontend.feat import compute_feats_typed
+            lda = None
+            if self.config["lda"]:
+                from .fileio import read_lda
+                if not hasattr(self, "_lda"):
+                    self._lda = read_lda(self.config["lda"])
+                lda = self._lda
+            feats, featlen = compute_feats_typed(
+                cep, feat_type=self.config["feat"],
+                svspec=self.config["svspec"],
+                cmn=self.config["cmn"], cmn_state=self.cmn_state,
+                agc=self.config["agc"], varnorm=self.config["varnorm"],
+                lda=lda, ldadim=self.config["ldadim"])
         self._feats = feats
         self._write_logs(pcm, cep)
         self._decode(feats)
+        self.perf.stop()
+        self._account_utt(len(feats))
 
     def _write_logs(self, pcm, cep):
         """Per-utterance trace seams: -rawlogdir/-mfclogdir/-senlogdir
@@ -447,13 +463,15 @@ class Decoder:
             text = " ".join(w.text for w in words if w.text != "<sil>")
             self._hyp = Hypothesis(hypstr=text)
         elif hasattr(search, "decode"):
-            hyp, segs = search.decode(feats, costs=costs)
+            with self.stage_timers["search"]:
+                hyp, segs = search.decode(feats, costs=costs)
             self._segs = [Segment(s.word, s.start, s.end,
                                   frate=self.fe.frate) for s in segs]
             self._hyp = Hypothesis(hypstr=hyp)
             self._lattice = None
             if self.config["bestpath"] and hasattr(search, "records"):
-                self._run_bestpath(search)
+                with self.stage_timers["bestpath"]:
+                    self._run_bestpath(search)
         else:
             raise TypeError(f"search {type(search)} not decodable")
 
@@ -481,13 +499,48 @@ class Decoder:
                                         finish_word=finish)
         if not hyp and not segs:
             return
-        lat.posterior(lm=lm, ascale=self.config["ascale"])
+        post = lat.posterior(lm=lm, ascale=self.config["ascale"])
         self._lattice = lat
-        self._hyp = Hypothesis(hypstr=hyp, score=int(score))
+        self._hyp = Hypothesis(hypstr=hyp, score=int(score),
+                               prob=math.exp(min(post, 0.0)))
+        scr = getattr(lat, "_best_seg_scores", None) or [(0, 0)] * len(segs)
         self._segs = [
             Segment(w, s, e, frate=self.fe.frate,
-                    prob=lat.node_posterior(w, s))
-            for (w, s, e) in segs]
+                    prob=lat.node_posterior(w, s),
+                    ascore=a * (1 << 10), lscore=ls * (1 << 10))
+            for (w, s, e), (a, ls) in zip(segs, scr)]
+
+    def _account_utt(self, n_frames: int):
+        """Accumulate totals + counters and log xRT at INFO level
+        (src/ngram_search.c:866-871-style lines)."""
+        n_speech = n_frames / self.fe.frate
+        self._utt_speech = n_speech
+        self.all_perf.add(n_speech, self.perf,
+                          self.stage_timers.values())
+        search = self._searches.get(self._active)
+        self.stats.add_utt(
+            n_frames, getattr(search, "P", 0),
+            self.am.scoring_arrays["w_lin"].shape[-1],
+            getattr(search, "W", 0))
+        if self.config["loglevel"] in ("INFO", "DEBUG"):
+            from .profile import log_xrt
+            for t in self.stage_timers.values():
+                log_xrt(t.name, t, n_speech,
+                        loglevel=self.config["loglevel"])
+            log_xrt("decode", self.perf, n_speech,
+                    loglevel=self.config["loglevel"])
+
+    def get_utt_time(self):
+        """(n_speech, n_cpu, n_wall) for the last utterance
+        (ps_get_utt_time, include/pocketsphinx.h:1079)."""
+        return (getattr(self, "_utt_speech", 0.0),
+                self.perf.t_cpu, self.perf.t_elapsed)
+
+    def get_all_time(self):
+        """(n_speech, n_cpu, n_wall) accumulated over all utterances
+        (ps_get_all_time, include/pocketsphinx.h:1093)."""
+        p = self.all_perf
+        return (p.n_speech, p.t_cpu, p.t_elapsed)
 
     def get_lattice(self):
         return getattr(self, "_lattice", None)

@@ -371,11 +371,21 @@ class Lattice:
             chain.append(li)
             li = int(back[li])
         chain.reverse()
+        self._best_chain = chain
         segs = []
+        self._best_seg_scores = []     # (ascr, lscr) per seg
+        prev_hist: list[int] = []
         for li in chain:
             l = self.links[li]
             n = self.nodes[l.src]
             segs.append((n.word, n.sf, l.ef))
+            lscr = 0.0
+            if lm is not None and not n.is_fill and n.base:
+                w = lm.wid(n.base)
+                if w >= 0:
+                    lscr = lm.score(w, prev_hist[-2:]) / SHIFT * lwf
+                    prev_hist.append(w)
+            self._best_seg_scores.append((l.ascr, lscr))
         hyp = " ".join(self.nodes[self.links[li].src].base for li in chain
                        if not self.nodes[self.links[li].src].is_fill)
         return hyp, segs, float(score[best])

@@ -126,3 +126,34 @@ def test_batch_cli_resume_and_hypseg(tmp_path):
     assert lines[1].endswith("(003)")
     seg_lines = hypseg.read_text().splitlines()
     assert len(seg_lines) == 2 and seg_lines[0].startswith("002 ")
+
+
+def test_profiling_and_backtrace(pcm):
+    """xRT instrumentation (ps_get_utt_time/ps_get_all_time,
+    src/util/profile.c ptmr_t) and the -backtrace table
+    (src/pocketsphinx.c:1341-1367)."""
+    import io
+    d = Decoder(hmm=str(EN_US), lm=str(DATADIR / "turtle.lm.bin"),
+                dict=str(DATADIR / "turtle.dic"))
+    d.decode_raw(pcm)
+    ns, cpu, wall = d.get_utt_time()
+    assert ns == pytest.approx(2.78, abs=0.05)
+    assert cpu > 0 and wall > 0
+    ns2, cpu2, wall2 = d.get_all_time()
+    assert ns2 == ns and cpu2 >= cpu
+    d.decode_raw(pcm)
+    ns3, _, _ = d.get_all_time()
+    assert ns3 == pytest.approx(2 * ns, abs=0.1)
+    # per-stage timers exist and search dominates
+    assert d.stage_timers["search"].t_elapsed > 0
+    assert d.stats.n_frames > 0 and d.stats.n_hmm_eval > 0
+    # backtrace table
+    from pocketsphinx_tpu.cli import output_backtrace, output_total_xrt
+    buf = io.StringIO()
+    output_backtrace(d, stream=buf)
+    out = buf.getvalue()
+    assert "go forward ten meters" in out
+    assert "pprob" in out and "xRT" in out
+    buf = io.StringIO()
+    output_total_xrt(d, stream=buf)
+    assert "TOTAL decode" in buf.getvalue()
