@@ -228,7 +228,7 @@ class Decoder:
         CI phone names)."""
         pids = []
         for ph in phones.split():
-            p = self.am.mdef.ciphone_id(ph)
+            p = self.am.mdef.ciphone_id(ph, nocase=self.dict.dictcase)
             if p < 0:
                 raise KeyError(f"Unknown phone {ph!r}")
             pids.append(p)
@@ -239,6 +239,30 @@ class Decoder:
                 if hasattr(s, "_build"):
                     s._build()
         return wid
+
+    def load_dict(self, dictfile: str, fdict: str | None = None,
+                  fmt: str | None = None) -> int:
+        """ps_load_dict (include/pocketsphinx.h / src/pocketsphinx.c):
+        replace the pronunciation dictionary mid-life and rebuild every
+        search.  Returns 0 on success, -1 on failure (missing file),
+        leaving the decoder unchanged on failure."""
+        from .models.dict2pid import Dict2Pid
+        from .fileio.dictionary import Dictionary
+        try:
+            d = Dictionary(self.am.mdef, dictfile,
+                           fdict or self.config["fdict"],
+                           dictcase=self.config["dictcase"])
+        except (FileNotFoundError, OSError, ValueError):
+            return -1
+        self.dict = d
+        self.d2p = Dict2Pid(self.am.mdef, d)
+        for s in self._searches.values():
+            if hasattr(s, "d2p"):
+                s.d2p = self.d2p
+                s.dict = d
+            if hasattr(s, "_build"):
+                s._build()
+        return 0
 
     def lookup_word(self, word: str) -> str | None:
         wid = self.dict.wordid(word)

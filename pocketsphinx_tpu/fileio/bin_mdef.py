@@ -66,13 +66,21 @@ class BinMdef:
     cd2cisen: np.ndarray = field(default=None, repr=False)
     sen2cimap: np.ndarray = field(default=None, repr=False)
     _ciname_index: dict = field(default=None, repr=False)
+    _ciname_lower: dict = field(default=None, repr=False)
 
     # -- lookups (mirror bin_mdef.h accessor macros) -------------------------
 
-    def ciphone_id(self, name: str) -> int:
+    def ciphone_id(self, name: str, nocase: bool = False) -> int:
+        """bin_mdef_ciphone_id / _nocase (src/bin_mdef.c:690-733)."""
         if self._ciname_index is None:
             self._ciname_index = {n: i for i, n in enumerate(self.ciname)}
-        return self._ciname_index.get(name, -1)
+        p = self._ciname_index.get(name, -1)
+        if p < 0 and nocase:
+            if self._ciname_lower is None:
+                self._ciname_lower = {n.lower(): i
+                                      for i, n in enumerate(self.ciname)}
+            p = self._ciname_lower.get(name.lower(), -1)
+        return p
 
     def is_filler(self, p: int) -> bool:
         return bool(self.phone_filler[p])

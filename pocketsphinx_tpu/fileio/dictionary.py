@@ -45,7 +45,11 @@ class Dictionary:
         self.silwid = self.wordid(SILENCE_WORD)
 
     def _norm(self, w: str) -> str:
-        return w if self.dictcase else w.lower()
+        # dict.c:332 wires the "dictcase" config flag directly into the
+        # nocase hash + nocase phone lookup (dict_ciphone_id, :56-61):
+        # dictcase=true means case-INsensitive, despite the flag's doc
+        # string.  Behavior parity wins over the doc.
+        return w.lower() if self.dictcase else w
 
     def _load(self, path: str, filler: bool):
         bad = 0
@@ -58,7 +62,7 @@ class Dictionary:
             pids = []
             ok = True
             for ph in phones:
-                p = self.mdef.ciphone_id(ph)
+                p = self.mdef.ciphone_id(ph, nocase=self.dictcase)
                 if p < 0:
                     ok = False
                     break

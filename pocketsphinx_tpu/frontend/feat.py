@@ -101,27 +101,40 @@ def agc_max(cep: np.ndarray) -> np.ndarray:
 
 class AgcEmax:
     """agc_emax: estimated-max AGC — subtract a running estimate of the
-    utterance c0 maximum, updated across utterances (src/feat/agc.c)."""
+    utterance c0 maximum, re-estimated across utterances EXACTLY like
+    the reference (src/feat/agc.c:142-178): the estimate is the mean of
+    the per-utterance observed maxima, with the history halved every 16
+    utterances (obs_max_sum /= 2, obs_utt 16 -> 8); an utterance only
+    contributes if some frame raised obs_max (obs_frame flag)."""
 
-    def __init__(self, init: float = 5.0):
-        self.max_est = init
-        self.obs_max = -1e10
-        self.obs_frames = 0
+    def __init__(self, init: float = 0.0):
+        # agc_init calloc's the struct: max = obs_max = 0
+        self.max_est = init         # agc->max (agc_emax_set)
+        self.obs_max = 0.0
+        self.obs_frame = False
+        self.obs_max_sum = 0.0
+        self.obs_utt = 0
 
     def __call__(self, cep: np.ndarray) -> np.ndarray:
         out = cep.copy()
         out[:, 0] -= self.max_est
-        if len(cep):
-            self.obs_max = max(self.obs_max, float(cep[:, 0].max()))
-            self.obs_frames += len(cep)
+        for v in cep[:, 0]:
+            if float(v) > self.obs_max:
+                self.obs_max = float(v)
+                self.obs_frame = True
         return out
 
     def update(self):
-        """agc_emax_update: blend the observed max into the estimate."""
-        if self.obs_frames > 10:
-            self.max_est = 0.5 * self.max_est + 0.5 * self.obs_max
-            self.obs_max = -1e10
-            self.obs_frames = 0
+        """agc_emax_update (src/feat/agc.c:159-178)."""
+        if self.obs_frame:
+            self.obs_max_sum += self.obs_max
+            self.obs_utt += 1
+            self.max_est = self.obs_max_sum / self.obs_utt
+            if self.obs_utt == 16:
+                self.obs_max_sum /= 2
+                self.obs_utt = 8
+        self.obs_frame = False
+        self.obs_max = -1000.0
 
 
 def agc_noise(cep: np.ndarray, noise_thresh: float = 2.0) -> np.ndarray:

@@ -366,6 +366,12 @@ def read_arpa(path: str) -> NgramModel:
     order = len(counts)
     if order == 0:
         raise ValueError(f"{path}: no \\data\\ section")
+    if order > 5:
+        # NGRAM_MAX_ORDER == 5 (src/lm/ngram_model_internal.h:98); the
+        # reference rejects such files with an "order" error
+        # (test/regression/test-lm-convert.sh:50-75 expects failure)
+        raise ValueError(f"{path}: ngram order {order} exceeds the "
+                         "maximum order 5")
     words: list[str] = []
     widx: dict[str, int] = {}
     levels = [[] for _ in range(order)]   # (hist tuple, word, prob, bo)
@@ -410,6 +416,12 @@ def read_arpa(path: str) -> NgramModel:
     if len(levels[0]) != counts[0]:
         # tolerate (reference warns); counts follow actual data
         counts[0] = len(levels[0])
+    for i in range(1, order):
+        if len(levels[i]) != counts[i]:
+            raise ValueError(
+                f"{path}: declared {counts[i]} {i + 1}-grams but "
+                f"found {len(levels[i])} (not-enough/too-many-ngrams "
+                "class of defect)")
     return _assemble(order, counts, words, levels)
 
 

@@ -72,6 +72,10 @@ class NgramFlatDecoder:
     # -- static structure ----------------------------------------------------
 
     def _build(self):
+        # invalidate compiled/caches (rebuilds after add_word/load_dict)
+        self._scan_fn = None
+        self._lm_rows = None
+        self._ctx_next = None
         d, mdef, d2p, lm = self.dict, self.mdef, self.d2p, self.lm
         sil = mdef.sil
         # Search words: dictionary words with an LM unigram (any alternate
@@ -167,6 +171,36 @@ class NgramFlatDecoder:
             [slot_base[i] + chains[i].rc_cls[sil] for i in range(W)],
             np.int32)
 
+        # Static reduction tables (dense padded-gather group maxima —
+        # TPU-friendly replacements for scatter-based segment ops):
+        #   slot_members [n_slot, Ks]: final nodes per exit slot (pad P)
+        #   word_slots   [W, Kw]:      slots per word (pad n_slot)
+        #   fg_members   [W, Kg]:      first-phone variants per word
+        #                              with a group-pred consumer (pad P)
+        #   fb_perm/fb_bounds: source words sorted by final base CI so
+        #                      per-ci maxima reduce over static slices
+        def padded(groups, n, pad):
+            k = max((len(g) for g in groups), default=1) or 1
+            m = np.full((n, k), pad, np.int64)
+            for i, g in enumerate(groups):
+                m[i, :len(g)] = g
+            return m
+
+        by_slot = [[] for _ in range(n_slot)]
+        for p in np.nonzero(node_slot < n_slot)[0]:
+            by_slot[node_slot[p]].append(int(p))
+        self.slot_members = padded(by_slot, n_slot, P)
+        self.word_slots = padded(
+            [list(range(slot_base[i], slot_base[i + 1]))
+             for i in range(W)], W, n_slot)
+        by_fg = [[] for _ in range(W)]
+        for p in np.nonzero(self.fg_id < W)[0]:
+            by_fg[self.fg_id[p]].append(int(p))
+        self.fg_members = padded(by_fg, W, P)
+        self.fb_perm = np.argsort(fb_ci, kind="stable").astype(np.int64)
+        self.fb_bounds = np.searchsorted(fb_ci[self.fb_perm],
+                                         np.arange(n_ci + 1))
+
         if d.startwid in self.widx:
             self.start_idx = self.widx[d.startwid]
         if d.finishwid in self.widx:
@@ -247,16 +281,15 @@ class NgramFlatDecoder:
         n_slot = self.n_slot
         n_ci = self.mdef.n_ciphone
         NST = self.mdef.n_emit_state
-        senid_flat = jnp.asarray(self.senid.reshape(-1))
+        senid_cols = tuple(jnp.asarray(self.senid[:, j])
+                           for j in range(self.mdef.n_emit_state))
         tp = jnp.asarray(self.tp)                      # [P, NST, NST+1]
         chain_pred = jnp.asarray(np.maximum(self.chain_pred, 0))
         has_pred = jnp.asarray(self.chain_pred >= 0)
         pred_grp = jnp.asarray(self.pred_is_group)
-        fg_id = jnp.asarray(self.fg_id)                # [P] word or W
         is_entry = jnp.asarray(self.chain_pred == -1)
         entry_mask_T = jnp.asarray(self.entry_mask.T)  # [n_ci, P]
         node_word_j = jnp.asarray(self.node_word)
-        node_slot = jnp.asarray(self.node_slot)        # [P] slot or n_slot
         exit_slot = jnp.asarray(self.exit_slot)        # [W, W]
         exit_slot_sil = jnp.asarray(self.exit_slot_sil)
         fb_id = jnp.asarray(self.fb_ci.astype(np.int64))   # [W] -> ci
@@ -270,28 +303,35 @@ class NgramFlatDecoder:
             jnp.asarray([self.words[i] == self.dict.silwid
                          for i in range(W)]),
             self.silpen, self.fillpen)
-        idxP = jnp.arange(P)
-        idxW = jnp.arange(W)
+        slot_members = jnp.asarray(self.slot_members)   # [n_slot, Ks]
+        word_slots = jnp.asarray(self.word_slots)       # [W, Kw]
+        fg_members = jnp.asarray(self.fg_members)       # [W, Kg]
+        fb_perm = jnp.asarray(self.fb_perm)
+        fb_bounds = self.fb_bounds                      # host ints
 
-        def seg_max_arg(data, seg, num):
-            """(segment max, index of its first attainer) — the dense
-            segment-argmax used to pull winner metadata out of a
-            segment ([P] data)."""
-            m = jax.ops.segment_max(data, seg, num_segments=num)
-            cand = jnp.where(data >= m[seg], idxP, P)
-            a = jax.ops.segment_min(cand, seg, num_segments=num)
-            return m, jnp.minimum(a, P - 1)
+        def members_max(vals_pad, members):
+            """(max, winning member) over a padded index matrix —
+            the dense TPU formulation of a segment max+argmax."""
+            v = vals_pad[members]                       # [G, K]
+            k = jnp.argmax(v, axis=1)
+            return jnp.max(v, axis=1), jnp.take_along_axis(
+                members, k[:, None], axis=1)[:, 0]
 
         def step(carry, xs):
             S, STF, RW1, RW2, PRW, ENTV, CTX = carry   # tuples of [P]
-            sen_t, t, valid = xs                       # sen_t: [NST, P]
+            cost_t, t, valid = xs                      # cost_t: [n_sen]
+            # per-frame senone gather (kept inside the step: a
+            # pre-gathered [T, NST, P] tensor is ~4 GB at en-us scale)
+            sen_t = tuple(-cost_t[senid_cols[j]] for j in range(NST))
             newS, (nSTF, nRW1, nRW2, nPRW, nENTV, nCTX), out, _, \
                 (o_stf, o_rw1, o_rw2, o_prw, o_entv, o_ctx) = hmm_step_sm(
-                    S, tuple(sen_t[j] for j in range(NST)), tp,
+                    S, sen_t, tp,
                     metas=(STF, RW1, RW2, PRW, ENTV, CTX))
+            out_pad = jnp.concatenate([out, jnp.full((1,), NEG_INF)])
             # intra-word chain entry: single predecessor, or max over
             # the word's first-phone variant group (mpx fan-in)
-            gmax, garg = seg_max_arg(out, fg_id, W + 1)
+            gmax, garg = members_max(out_pad, fg_members)      # [W]
+            garg = jnp.minimum(garg, P - 1)
             ce_plain = jnp.where(has_pred, out[chain_pred], NEG_INF)
             chain_entry = jnp.where(pred_grp, gmax[node_word_j],
                                     ce_plain) + self.pip
@@ -312,12 +352,11 @@ class NgramFlatDecoder:
             # words reduced over their lc variants), plus per-word best
             # for the records/history (the bptable's one-entry-per-word
             # semantics, src/ngram_search.c:378-500)
-            sv = jax.ops.segment_max(out, node_slot,
-                                     num_segments=n_slot + 1)
-            wseg = jnp.where(node_slot < n_slot, node_word_j, W)
-            wbest, warg = seg_max_arg(out, wseg, W + 1)
-            escore = wbest[:W]
-            wnode = warg[:W]
+            sv, snode = members_max(out_pad, slot_members)   # [n_slot]
+            sv_pad = jnp.concatenate([sv, jnp.full((1,), NEG_INF)])
+            escore, wslot = members_max(sv_pad, word_slots)  # [W]
+            wnode = snode[jnp.minimum(wslot, n_slot - 1)]
+            wnode = jnp.minimum(wnode, P - 1)
             eh1 = o_rw1[wnode]                            # [W]
             eh2 = o_rw2[wnode]
             ectx = o_ctx[wnode]
@@ -333,12 +372,25 @@ class NgramFlatDecoder:
                               exg + fillpen_w[None, :],
                               exg + lmrow + (self.nwpen + self.pip))
             # reduce sources by their final base CI phone, then select
-            # per entry node through its left-context-class mask
-            tbf = jax.ops.segment_max(trans, fb_id, num_segments=n_ci)
-            candf = jnp.where(trans >= tbf[fb_id], idxW[:, None], W)
-            argf = jnp.minimum(
-                jax.ops.segment_min(candf, fb_id, num_segments=n_ci),
-                W - 1)                                    # [n_ci, W]
+            # per entry node through its left-context-class mask.
+            # Sources are permuted into final-base order so each ci
+            # group is a static slice (no scatter-based segment ops).
+            ts = trans[fb_perm]                           # [W, W]
+            tbf_rows = []
+            argf_rows = []
+            for ci in range(n_ci):
+                b0, b1 = int(fb_bounds[ci]), int(fb_bounds[ci + 1])
+                if b0 == b1:
+                    tbf_rows.append(jnp.full((W,), NEG_INF))
+                    argf_rows.append(jnp.zeros((W,), jnp.int32))
+                    continue
+                seg = ts[b0:b1]
+                tbf_rows.append(jnp.max(seg, axis=0))
+                argf_rows.append(
+                    fb_perm[b0 + jnp.argmax(seg, axis=0)].astype(
+                        jnp.int32))
+            tbf = jnp.stack(tbf_rows)                     # [n_ci, W]
+            argf = jnp.stack(argf_rows)                   # [n_ci, W]
             tv = jnp.where(entry_mask_T, tbf[:, node_word_j], NEG_INF)
             e_node = jnp.max(tv, axis=0)                  # [P]
             ci_star = jnp.argmax(tv, axis=0)              # [P]
@@ -398,14 +450,11 @@ class NgramFlatDecoder:
 
         def scan_fn(costs, valid, carry=None, t0=0):
             T = costs.shape[0]
-            # [T, NST, P]: state-major senone goodness
-            sen = -costs[:, senid_flat].reshape(T, P, NST)
-            sen = jnp.moveaxis(sen, 2, 1)
             import os
             unroll = int(os.environ.get("PS_SCAN_UNROLL", "1"))
             carry_out, recs = jax.lax.scan(
                 step, carry0 if carry is None else carry,
-                (sen, t0 + jnp.arange(T, dtype=jnp.int32), valid),
+                (costs, t0 + jnp.arange(T, dtype=jnp.int32), valid),
                 unroll=unroll)
             return recs, carry_out
 

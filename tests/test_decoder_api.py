@@ -157,3 +157,25 @@ def test_profiling_and_backtrace(pcm):
     buf = io.StringIO()
     output_total_xrt(d, stream=buf)
     assert "TOTAL decode" in buf.getvalue()
+
+
+def test_defective_dict_recovery(pcm):
+    """The test_ngram_model_read.c robustness flow (with the turtle LM;
+    the reference also uses it for its second half): decode with the
+    deliberately-broken defective.dic ('meters' missing, weird phone
+    case) -> 'go forward ten degrees'; ps_add_word('meters') fixes it;
+    ps_load_dict fails cleanly on a missing file and switches
+    dictionaries mid-life."""
+    d = Decoder(hmm=str(EN_US), lm=str(DATADIR / "turtle.lm.bin"),
+                dict=str(DATADIR / "defective.dic"), dictcase=True)
+    assert d.decode_raw(pcm).hypstr == "go forward ten degrees"
+    # add the missing word (ps_add_word with update)
+    d.add_word("foobie", "F UW B IY", update=False)
+    d.add_word("meters", "M IY T ER Z", update=True)
+    assert d.decode_raw(pcm).hypstr == "go forward ten meters"
+    # dictionary switching (ps_load_dict)
+    assert d.load_dict(str(DATADIR / "turtle_missing_file.dic")) == -1
+    assert d.load_dict(str(DATADIR / "turtle.dic")) == 0
+    assert d.decode_raw(pcm).hypstr == "go forward ten meters"
+    assert d.load_dict(str(DATADIR / "defective.dic")) == 0
+    assert d.decode_raw(pcm).hypstr == "go forward ten degrees"

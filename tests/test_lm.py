@@ -66,14 +66,23 @@ def test_turtle_bin():
 
 
 def test_malformed_lm_files():
-    # deliberately-broken fixtures must raise, not crash
-    for name in ("too-many-ngrams.arpa", "not-enough-ngrams.arpa"):
+    """Deliberately-broken fixtures MUST be rejected, like the
+    reference's lm_convert failures (test/regression/test-lm-convert.sh
+    :50-75 expects nonzero exit for both .arpa and .lm.bin forms)."""
+    import pytest
+    from pocketsphinx_tpu.lm.ngram import read_lm
+    for name in ("too-many-ngrams.arpa", "not-enough-ngrams.arpa",
+                 "too-many-ngrams.lm.bin", "not-enough-ngrams.lm.bin"):
         p = DATADIR / name
-        if p.exists():
-            try:
-                read_arpa(str(p))
-            except (ValueError, KeyError, IndexError):
-                pass  # rejected cleanly
+        if not p.exists():
+            continue
+        with pytest.raises((ValueError, KeyError, IndexError)):
+            m = read_lm(str(p))
+            # a structurally-broken model that somehow parses must
+            # still fail basic scoring consistency
+            if m.counts[0] < 1:
+                raise ValueError("empty model")
+            m.successor_row(())
 
 
 def test_sentence_score(lm100):
