@@ -133,13 +133,17 @@ class Decoder:
     # -- search management (include/pocketsphinx/search.h) -------------------
 
     def add_lm(self, name: str, lm_or_path):
+        import os
         from .lm.ngram import read_lm, NgramModel
-        from .search.ngram_flat import NgramFlatDecoder
         lm = lm_or_path
         if isinstance(lm_or_path, str):
             lm = read_lm(lm_or_path, lw=self.config["lw"],
                          wip=self.config["wip"])
-        self._searches[name] = NgramFlatDecoder(
+        if os.environ.get("PS_NGRAM_IMPL", "fused") == "flat":
+            from .search.ngram_flat import NgramFlatDecoder as Impl
+        else:
+            from .search.ngram_fused import NgramFusedDecoder as Impl
+        self._searches[name] = Impl(
             self.am, self.d2p, lm,
             silprob=self.config["silprob"],
             fillprob=self.config["fillprob"],
@@ -373,9 +377,12 @@ class Decoder:
         self._stream_feats(feats, flush=True)
         search = self._searches[self._active]
         if self._stream_recs:
-            search.records = tuple(
+            recs = tuple(
                 np.concatenate([r[i] for r in self._stream_recs])
                 for i in range(len(self._stream_recs[0])))
+            if hasattr(search, "adapt_records"):
+                recs = search.adapt_records(recs, self._stream_t)
+            search.records = recs
             self._feats = np.zeros((self._stream_t, 3, 13), np.float32)
             hyp, segs = search._backtrace(search.records, self._stream_t)
             self._segs = [Segment(s.word, s.start, s.end,
@@ -394,6 +401,8 @@ class Decoder:
         search = self._searches[self._active]
         recs = tuple(np.concatenate([r[i] for r in self._stream_recs])
                      for i in range(len(self._stream_recs[0])))
+        if hasattr(search, "adapt_records"):
+            recs = search.adapt_records(recs, self._stream_t)
         saved = getattr(search, "records", None)
         search.records = recs
         hyp, _ = search._backtrace(recs, self._stream_t)

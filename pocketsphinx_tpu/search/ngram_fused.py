@@ -1,0 +1,890 @@
+"""N-gram decoding v3: gather-free fused Viterbi scan ("ngram_fused").
+
+TPU-first redesign of the round-2 dense flat decoder (ngram_flat.py),
+built from measured TPU cost rules (docs/PERF_NOTES.md): inside a
+`lax.scan` body, element gathers/scatters run ~200-600x slower than the
+same op outside a loop, while elementwise chains, static slices,
+reductions, `top_k`, small matmuls and row-sized `dynamic_slice`s are
+fast.  Round 2's per-frame `[W, W]` element-gathers (`sv[exit_slot]`,
+`lm_rows[ectx]`) were 99.6% of runtime; this module eliminates every
+in-scan element gather:
+
+  * **Right-aligned chain tensors.**  First + interior phones of every
+    word live in `[3, D, W]` length-bucketed tensors, each word's chain
+    right-aligned so its last node sits at depth D-1.  The intra-word
+    Viterbi "token passing" (src/hmm.c:222-350 semantics via
+    ops/hmm.py:hmm_step_sm) becomes a shift along the depth axis; word
+    entries apply through a static first-depth mask.  No successor
+    indices exist at all.
+  * **Carried-variant mpx first phones.**  The reference's multiplexed
+    channels (src/hmm.h mpx, src/ngram_search_fwdtree.c:1241-1310) are
+    reproduced exactly: one first-phone node per word whose per-state
+    senone follows the token's left-context class, carried as a VAR
+    metadata plane and resolved against pre-gathered per-variant senone
+    scores by a masked sum (no gather).
+  * **Class-direct final fans.**  The word-final right-context fan
+    (dict2pid xwdssid, src/dict2pid.c) is a `[3, n_rc, W]` tensor whose
+    plane axis *is* the right-context CI phone (restricted to contexts
+    that can occur: word-initial phones + SIL).  Exit scores per
+    (word, right context) are direct slices.
+  * **Top-K exits + one-hot matmuls.**  Word transitions process the K
+    best word exits per frame (the analog of the reference's wbeam
+    word-exit prune, src/ngram_search_fwdtree.c:1130-1238): per-exit LM
+    successor rows are fetched as K row-sized `dynamic_slice`s from the
+    dense context-row table (exact trigram; lm/ngram.py
+    dense_context_rows), and all cross-indexing (exit-class selection,
+    per-K payloads, left-class assignment) is done with small one-hot
+    matmuls and first-argmax masked sums -- MXU/VPU work, no gathers.
+  * **Token metadata off the carry.**  Tokens carry only (score, entry
+    frame TF, LM context row CTX) [+ VAR on first phones]; everything
+    else (predecessor word, history words, entry score) is written once
+    per entry event to the per-frame records and re-joined on the host
+    (`adapt_records`), which reconstructs the exact round-2 record
+    format consumed by the lattice layer and backtrace.
+
+Exactness contract: same trigram Katz scoring as the reference's
+fwdflat pass (src/ngram_search_fwdflat.c:813 via ngram_tg_score), same
+mpx/tie semantics, proven against a host float64 trie-walk oracle in
+tests/test_ngram_fused.py.  The top-K shortlist is the only pruning;
+K >= W disables it (tests decode both ways and compare).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..models.dict2pid import Dict2Pid
+from ..models.acoustic import AcousticModel, UNIT_NATS
+from ..lm.ngram import NgramModel
+from .ngram_flat import Seg, NEG_INF, SHIFT
+
+BIG_NEG = np.float32(-1e30)
+
+
+@dataclass
+class _Chain:
+    """One right-aligned chain bucket: words [w_lo, w_hi) with padded
+    depth D (covers first + interior phones; finals live elsewhere for
+    real words, in-chain for CI-filler chains)."""
+
+    w_lo: int
+    w_hi: int
+    D: int
+    senid: np.ndarray = None          # [3, D, Wb] int32
+    tp: np.ndarray = None             # [D, Wb, NST, NST+1] f32
+    fd: np.ndarray = None             # [Wb] first depth per word
+    firstmask: np.ndarray = None      # [D, Wb] bool
+    # mpx first-phone variants (real multi-phone words only)
+    senid_first: np.ndarray = None    # [3, RF, Wb] int32
+    n_var: np.ndarray = None          # [Wb]
+    RF: int = 0
+
+    @property
+    def Wb(self):
+        return self.w_hi - self.w_lo
+
+
+class NgramFusedDecoder:
+    """Exact-trigram full-vocabulary Viterbi with a gather-free scan."""
+
+    LM_TABLE_BUDGET = None   # default: env PS_LM_TABLE_BYTES or 2 GiB
+    CHUNK = 8                # senone pre-gather chunk (frames)
+
+    def __init__(self, am: AcousticModel, d2p: Dict2Pid, lm: NgramModel,
+                 silprob: float = 0.005, fillprob: float = 1e-8,
+                 pip: float = 1.0, nwpen: float = 1.0,
+                 topk: int | None = None):
+        self.am = am
+        self.d2p = d2p
+        self.dict = d2p.dict
+        self.lm = lm
+        self.mdef = am.mdef
+        ln = lambda p: math.log(p) / UNIT_NATS  # shifted units
+        self.pip = ln(pip)
+        self.nwpen = ln(nwpen)
+        self.silpen = self.pip + ln(silprob)
+        self.fillpen = self.pip + ln(fillprob)
+        self.topk = topk
+        if self.topk is None:
+            self.topk = int(os.environ.get("PS_NGRAM_TOPK", "96"))
+        self._build()
+
+    # -- static structure ----------------------------------------------------
+
+    def _select_words(self):
+        """Word list identical in membership to ngram_flat._build, but
+        reordered [multi (by length) | single-phone | CI chains]."""
+        d, lm, mdef = self.dict, self.lm, self.mdef
+        sil = mdef.sil
+        picked = []                 # (class, sortkey, wid, lm_wid, fill)
+        for wid in range(len(d)):
+            base = d.basestr(wid)
+            lw = lm.wid(base)
+            pron = [int(x) for x in d.pron(wid)]
+            is_ci = d.is_filler(wid) or (len(pron) == 1 and pron[0] == sil)
+            if d.is_filler(wid) and wid not in (d.startwid, d.finishwid):
+                picked.append((2, len(pron), wid, -1, True))
+            elif lw >= 0:
+                cls = 2 if is_ci else (1 if len(pron) == 1 else 0)
+                picked.append((cls, len(pron), wid, lw, False))
+        picked.sort(key=lambda t: (t[0], t[1], t[2]))
+        self.words = [t[2] for t in picked]
+        self.lm_wid = np.array([t[3] for t in picked], np.int32)
+        self.is_fill = np.array([t[4] for t in picked], bool)
+        self.W = len(picked)
+        self.widx = {w: i for i, w in enumerate(self.words)}
+        self.n_multi = sum(1 for t in picked if t[0] == 0)
+        self.n_single = sum(1 for t in picked if t[0] == 1)
+        self.n_ci = self.W - self.n_multi - self.n_single
+
+    @staticmethod
+    def _depth_for(length_minus: int) -> int:
+        for d in (1, 2, 3, 4, 5, 6, 8, 10, 13, 17, 22, 28):
+            if length_minus <= d:
+                return d
+        return length_minus
+
+    def _build(self):
+        self._scan_fn = None
+        self._lm_rows = None
+        d, mdef, d2p = self.dict, self.mdef, self.d2p
+        sseq = mdef.sseq
+        tmat_tp = self.am.tmat.tp      # [n_tmat, NST, NST+1] uint8
+        NST = mdef.n_emit_state
+        self.NST = NST
+        sil = mdef.sil
+        self._select_words()
+        W, n_multi, n_single = self.W, self.n_multi, self.n_single
+        prons = [[int(x) for x in d.pron(w)] for w in self.words]
+
+        def tp_of(ci):
+            t = tmat_tp[mdef.phone_tmat[ci]].astype(np.float32)
+            return np.where(t == 255, NEG_INF, -t)
+
+        # occurring right contexts: word-initial phones + SIL
+        rc_set = sorted({p[0] for p in prons} | {sil})
+        self.rc_list = np.array(rc_set, np.int32)
+        n_rc = len(rc_set)
+        self.n_rcp = n_rc
+        rc_plane = np.full(mdef.n_ciphone, -1, np.int32)
+        rc_plane[rc_set] = np.arange(n_rc)
+        self.f0_plane = np.array([rc_plane[p[0]] for p in prons], np.int32)
+        self.fb_ci = np.array([p[-1] for p in prons], np.int32)
+
+        # ---- multi-phone words: chain buckets + finals fan ----
+        chains: list[_Chain] = []
+        lo = 0
+        while lo < n_multi:
+            D = self._depth_for(len(prons[lo]) - 1)
+            hi = lo
+            while hi < n_multi and self._depth_for(len(prons[hi]) - 1) == D:
+                hi += 1
+            chains.append(_Chain(w_lo=lo, w_hi=hi, D=D))
+            lo = hi
+        lc_cls = np.zeros((n_multi, mdef.n_ciphone), np.int32)
+        for ch in chains:
+            Wb, D = ch.Wb, ch.D
+            senid = np.zeros((NST, D, Wb), np.int32)
+            tp = np.tile(tp_of(sil)[None, None], (D, Wb, 1, 1))
+            fd = np.zeros(Wb, np.int64)
+            nvar = np.ones(Wb, np.int64)
+            RF = 1
+            var_ssids = []
+            for k in range(Wb):
+                pron = prons[ch.w_lo + k]
+                L = len(pron)
+                fd[k] = D - (L - 1)
+                uniq = np.unique(d2p.ldiph_lc[pron[0], pron[1]])
+                var_ssids.append(uniq)
+                nvar[k] = len(uniq)
+                RF = max(RF, len(uniq))
+                inv = np.searchsorted(uniq, d2p.ldiph_lc[pron[0], pron[1]])
+                lc_cls[ch.w_lo + k] = inv
+                senid[:, fd[k], k] = sseq[int(uniq[0])]
+                tp[fd[k], k] = tp_of(pron[0])
+                internal = d2p.internal_ssids(self.words[ch.w_lo + k])
+                for j in range(1, L - 1):
+                    senid[:, fd[k] + j, k] = sseq[int(internal[j - 1])]
+                    tp[fd[k] + j, k] = tp_of(pron[j])
+            senid_first = np.zeros((NST, RF, Wb), np.int32)
+            for k in range(Wb):
+                u = var_ssids[k]
+                for v in range(RF):
+                    senid_first[:, v, k] = sseq[int(u[min(v, len(u) - 1)])]
+            ch.senid, ch.tp, ch.fd = senid, tp, fd
+            ch.firstmask = (np.arange(ch.D)[:, None] == fd[None, :])
+            ch.senid_first, ch.n_var, ch.RF = senid_first, nvar, RF
+        self.chains = chains
+        self.lc_cls = lc_cls
+
+        # finals fan [3, n_rc, n_multi]
+        senid_fin = np.zeros((NST, n_rc, max(n_multi, 1)), np.int32)
+        tp_fin = np.tile(tp_of(sil)[None], (max(n_multi, 1), 1, 1))
+        for k in range(n_multi):
+            pron = prons[k]
+            ss = d2p.rdiph_rc[pron[-1], pron[-2]][rc_set]
+            senid_fin[:, :, k] = sseq[ss.astype(np.int64)].T
+            tp_fin[k] = tp_of(pron[-1])
+        self.senid_fin, self.tp_fin = senid_fin, tp_fin
+
+        # ---- single-phone real words: explicit (lc-class) columns ----
+        sp_cols = []          # (word index, variant, rep lc)
+        accept_sp = []        # [n_ci] bool per column
+        for k in range(n_multi, n_multi + n_single):
+            p0 = prons[k][0]
+            table = d2p.lrdiph_rc[p0]
+            uniq, inv = np.unique(table, axis=0, return_inverse=True)
+            for v in range(len(uniq)):
+                rep = int(np.nonzero(inv == v)[0][0])
+                sp_cols.append((k, v, rep))
+                accept_sp.append(inv == v)
+        SP = len(sp_cols)
+        self.SP = SP
+        senid_sp = np.zeros((NST, n_rc, max(SP, 1)), np.int32)
+        tp_sp = np.tile(tp_of(sil)[None], (max(SP, 1), 1, 1))
+        col_word = np.zeros(max(SP, 1), np.int64)
+        for c, (k, v, rep) in enumerate(sp_cols):
+            p0 = prons[k][0]
+            ss = d2p.lrdiph_rc[p0, rep][rc_set]
+            senid_sp[:, :, c] = sseq[ss.astype(np.int64)].T
+            tp_sp[c] = tp_of(p0)
+            col_word[c] = k
+        self.senid_sp, self.tp_sp, self.sp_col_word = senid_sp, tp_sp, col_word
+        self.accept_sp = (np.stack(accept_sp)
+                          if SP else np.zeros((0, mdef.n_ciphone), bool))
+        # column ranges per single word
+        self.sp_ranges = []
+        for k in range(n_multi, n_multi + n_single):
+            cols = [c for c, t in enumerate(sp_cols) if t[0] == k]
+            self.sp_ranges.append((k, cols[0], cols[-1] + 1))
+
+        # ---- CI chains (fillers, <s>, </s>) ----
+        ci0 = n_multi + n_single
+        ci_chains: list[_Chain] = []
+        lo = ci0
+        while lo < W:
+            D = self._depth_for(len(prons[lo]))
+            hi = lo
+            while hi < W and self._depth_for(len(prons[hi])) == D:
+                hi += 1
+            ci_chains.append(_Chain(w_lo=lo, w_hi=hi, D=D))
+            lo = hi
+        for ch in ci_chains:
+            Wb, D = ch.Wb, ch.D
+            senid = np.zeros((NST, D, Wb), np.int32)
+            tp = np.tile(tp_of(sil)[None, None], (D, Wb, 1, 1))
+            fd = np.zeros(Wb, np.int64)
+            for k in range(Wb):
+                pron = prons[ch.w_lo + k]
+                L = len(pron)
+                fd[k] = D - L
+                for j, ci in enumerate(pron):
+                    senid[:, fd[k] + j, k] = sseq[int(mdef.phone_ssid[ci])]
+                    tp[fd[k] + j, k] = tp_of(ci)
+            ch.senid, ch.tp, ch.fd = senid, tp, fd
+            ch.firstmask = (np.arange(D)[:, None] == fd[None, :])
+        self.ci_chains = ci_chains
+
+        # ---- entry-target axis E = [multi | single cols | ci words] ----
+        nE = n_multi + SP + self.n_ci
+        self.nE = nE
+        e2w = np.concatenate([
+            np.arange(n_multi, dtype=np.int64),
+            col_word[:SP],
+            np.arange(ci0, W, dtype=np.int64)])
+        self.e2w = e2w
+        self.isfill_E = self.is_fill[e2w]
+        self.f0p_E = self.f0_plane[e2w]
+        fillpen_w = np.where(
+            np.array([self.words[i] == d.silwid for i in range(W)]),
+            self.silpen, self.fillpen).astype(np.float32)
+        self.fillpen_E = fillpen_w[e2w]
+        # accept matrix: 1 everywhere except single columns (lc class)
+        acc = np.ones((nE, mdef.n_ciphone), np.float32)
+        if SP:
+            acc[n_multi:n_multi + SP] = self.accept_sp.astype(np.float32)
+        self.accept_E = acc
+        self.lmwid_E = np.where(self.lm_wid[e2w] >= 0,
+                                self.lm_wid[e2w], 0).astype(np.int64)
+
+        # per-word static exit-target index (E index of the word's
+        # chain/fan; singles are resolved at runtime to the winning col)
+        etgt0 = np.zeros(W, np.int64)
+        etgt0[:n_multi] = np.arange(n_multi)
+        for k, c0, c1 in self.sp_ranges:
+            etgt0[k] = n_multi + c0
+        etgt0[ci0:] = n_multi + SP + np.arange(W - ci0)
+        self.etgt0 = etgt0
+
+        self.col_lm = np.where(self.lm_wid >= 0, self.lm_wid, 0)
+        self.V = self.lm.counts[0]
+        self.start_idx = (self.widx.get(d.startwid)
+                          if d.startwid in self.widx else None)
+        self.finish_idx = (self.widx.get(d.finishwid)
+                           if d.finishwid in self.widx else None)
+        # diagnostics: padded node count of the dense network
+        self.P = int(sum(ch.D * ch.Wb for ch in chains + ci_chains)
+                     + n_rc * (n_multi + SP))
+
+    # -- LM tables -----------------------------------------------------------
+
+    def _lm_tables(self):
+        """(rows [R, E] f32, ctx_next [V+1, E] f32, ctx2h1 [R] i32).
+
+        rows[r, e] = exact weighted Katz score of entry target e's word
+        under history class r (r = 0 empty, 1+h unigram context h,
+        1+V+b bigram-entry context b; lm/ngram.py dense_context_rows).
+        ctx_next[h1, e] = context row carried after entering e's word
+        with previous real word h1.  ctx2h1[r] = newest history word of
+        class r (V for the empty class)."""
+        if self._lm_rows is not None:
+            return (self._lm_rows, self._ctx_next, self._ctx2h1,
+                    self._ctx2h2)
+        lm, V = self.lm, self.V
+        budget = self.LM_TABLE_BUDGET
+        if budget is None:
+            budget = int(os.environ.get("PS_LM_TABLE_BYTES", 2 << 30))
+        cols_E = self.col_lm[self.e2w]
+        rows, with_tri = lm.dense_context_rows(cols_E, budget)
+        rows = rows / SHIFT
+        rows[:, self.isfill_E] = 0.0
+        self.lm_order_used = 3 if with_tri else (2 if lm.order >= 2 else 1)
+        R = rows.shape[0]
+        ctx_next = np.empty((V + 1, self.nE), dtype=np.float32)
+        ctx_next[:, :] = (1 + cols_E)[None, :].astype(np.float32)
+        ctx2h1 = np.full(R, V, np.int32)
+        ctx2h1[1:1 + V] = np.arange(V)
+        ctx2h2 = np.full(R, V, np.int32)
+        if with_tri:
+            ho, hn = lm.bigram_entries()
+            ctx2h1[1 + V:] = hn
+            ctx2h2[1 + V:] = ho
+            # vectorized scatter of trigram-context successors
+            # (ADVICE r2 low #4: no per-bigram Python loop)
+            real_cols = np.nonzero(~self.isfill_E)[0]
+            key = cols_E[real_cols]
+            order = np.argsort(key, kind="stable")
+            skey = key[order]
+            beg = np.searchsorted(skey, hn)
+            end = np.searchsorted(skey, hn, side="right")
+            cnt = end - beg
+            if cnt.sum():
+                r_idx = np.repeat(ho, cnt)
+                v_idx = np.repeat(1 + V + np.arange(len(ho)), cnt)
+                base = np.repeat(beg, cnt)
+                within = (np.arange(cnt.sum())
+                          - np.repeat(np.cumsum(cnt) - cnt, cnt))
+                c_idx = real_cols[order[base + within]]
+                ctx_next[r_idx, c_idx] = v_idx.astype(np.float32)
+        self._lm_rows, self._ctx_next = rows, ctx_next
+        self._ctx2h1, self._ctx2h2 = ctx2h1, ctx2h2
+        return rows, ctx_next, ctx2h1, ctx2h2
+
+    # -- the scan ------------------------------------------------------------
+
+    def _make_scan(self):
+        if self._scan_fn is not None:
+            return self._scan_fn
+        import jax
+        import jax.numpy as jnp
+        from ..ops.hmm import hmm_step_sm
+
+        NST = self.NST
+        W, n_multi, SP, nE = self.W, self.n_multi, self.SP, self.nE
+        n_rc = self.n_rcp
+        ci0 = n_multi + self.n_single
+        n_ciw = self.n_ci
+        K = min(self.topk, W)
+        n_ciph = self.mdef.n_ciphone
+        rows_np, ctxn_np, ctx2h1_np, ctx2h2_np = self._lm_tables()
+        assert self.V < (1 << 15), "history packing needs V < 32768"
+        rows_tab = jnp.asarray(rows_np)                  # [R, E] f32
+        ctx_next = jnp.asarray(ctxn_np)                  # [V+1, E] f32
+        ctx2h1 = jnp.asarray(ctx2h1_np)                  # [R] i32
+        ctx2h2 = jnp.asarray(ctx2h2_np)                  # [R] i32
+        accept_E = jnp.asarray(self.accept_E)            # [E, n_ciph]
+        isfill_E = jnp.asarray(self.isfill_E)
+        fillpen_E = jnp.asarray(self.fillpen_E)
+        lmwid_E = jnp.asarray(self.lmwid_E.astype(np.float32))
+        isreal_E = jnp.asarray(~self.isfill_E)
+        f0_onehot = jnp.asarray(
+            (self.f0p_E[:, None] == np.arange(n_rc)[None, :])
+            .astype(np.float32))                         # [E, n_rc]
+        lc_cls_f = jnp.asarray(self.lc_cls.astype(np.float32))  # [Wm, n_ciph]
+        wpen = np.float32(self.nwpen + self.pip)
+        pip = np.float32(self.pip)
+
+        # flat senone-id list for the per-chunk pre-gather
+        seg_ids = []
+        seg_shapes = []
+
+        def add_seg(arr):
+            seg_shapes.append(arr.shape)
+            seg_ids.append(arr.reshape(-1))
+            return len(seg_shapes) - 1
+
+        si_ch = [add_seg(ch.senid) for ch in self.chains]
+        si_fv = [add_seg(ch.senid_first) for ch in self.chains]
+        si_fin = add_seg(self.senid_fin[:, :, :n_multi]) if n_multi else None
+        si_sp = add_seg(self.senid_sp[:, :, :SP]) if SP else None
+        si_ci = [add_seg(ch.senid) for ch in self.ci_chains]
+        senid_all = np.concatenate(seg_ids) if seg_ids else np.zeros(0, int)
+        seg_off = np.concatenate([[0], np.cumsum(
+            [np.prod(s) for s in seg_shapes])]).astype(np.int64)
+        senid_all_j = jnp.asarray(senid_all.astype(np.int32))
+
+        def seg_of(g, i):
+            lo, hi = int(seg_off[i]), int(seg_off[i + 1])
+            return g[lo:hi].reshape(seg_shapes[i])
+
+        ch_tp = [jnp.asarray(ch.tp) for ch in self.chains]
+        ch_fm = [jnp.asarray(ch.firstmask) for ch in self.chains]
+        ci_tp = [jnp.asarray(ch.tp) for ch in self.ci_chains]
+        ci_fm = [jnp.asarray(ch.firstmask) for ch in self.ci_chains]
+        tp_fin = jnp.asarray(self.tp_fin[:n_multi]) if n_multi else None
+        tp_sp = jnp.asarray(self.tp_sp[:SP]) if SP else None
+        CH = self.CHUNK
+
+        def tens3(shape, val=BIG_NEG, dtype=np.float32):
+            return tuple(jnp.full(shape, val, dtype) for _ in range(NST))
+
+        def init_carry():
+            c = {}
+            c["ch"] = [dict(S=tens3((ch.D, ch.Wb)),
+                            TF=tens3((ch.D, ch.Wb), 0, np.int32),
+                            CTX=tens3((ch.D, ch.Wb), 0, np.int32),
+                            VAR=tens3((ch.Wb,), 0, np.int32))
+                       for ch in self.chains]
+            c["fin"] = dict(S=tens3((n_rc, n_multi)),
+                            TF=tens3((n_rc, n_multi), 0, np.int32),
+                            CTX=tens3((n_rc, n_multi), 0, np.int32)) \
+                if n_multi else None
+            c["sp"] = dict(S=tens3((n_rc, SP)),
+                           TF=tens3((n_rc, SP), 0, np.int32),
+                           CTX=tens3((n_rc, SP), 0, np.int32)) if SP else None
+            ci_list = []
+            for ch in self.ci_chains:
+                e = dict(S=tens3((ch.D, ch.Wb)),
+                         TF=tens3((ch.D, ch.Wb), 0, np.int32),
+                         CTX=tens3((ch.D, ch.Wb), 0, np.int32))
+                ci_list.append(e)
+            c["ci"] = ci_list
+            if self.start_idx is not None:
+                s_lm = self.lm.wid("<s>")
+                # locate <s> in its CI bucket
+                for bi, ch in enumerate(self.ci_chains):
+                    if ch.w_lo <= self.start_idx < ch.w_hi:
+                        k = self.start_idx - ch.w_lo
+                        dep = int(ch.fd[k])
+                        S0 = np.full((ch.D, ch.Wb), NEG_INF, np.float32)
+                        S0[dep, k] = 0.0
+                        C0 = np.zeros((ch.D, ch.Wb), np.int32)
+                        if s_lm >= 0:
+                            C0[dep, k] = 1 + s_lm
+                        e = c["ci"][bi]
+                        e["S"] = (jnp.asarray(S0),) + e["S"][1:]
+                        e["CTX"] = (jnp.asarray(C0),) + e["CTX"][1:]
+            return c
+
+        self.init_carry = init_carry()
+
+        def first_select(vals, var, n):
+            """One-hot select of per-variant planes: vals [RF, Wb],
+            var [Wb] int -> [Wb] (clamped to the word's variant count)."""
+            v = jnp.minimum(var, n - 1)[None, :]
+            oh = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0) == v
+            return jnp.sum(jnp.where(oh, vals, 0.0), axis=0)
+
+        def argmax_payload(cand, axis0_payloads):
+            """cand [A, ...]: max over axis 0 with first-winner payload
+            select.  axis0_payloads: list of [A, ...]-broadcastable
+            arrays.  Returns (max [...], [payload [...], ...])."""
+            mx = jnp.max(cand, axis=0)
+            eq = cand == mx[None]
+            first = jnp.cumsum(eq.astype(jnp.int32), axis=0) == 1
+            m = eq & first
+            outs = []
+            for p in axis0_payloads:
+                pb = jnp.broadcast_to(p, cand.shape)
+                outs.append(jnp.sum(jnp.where(m, pb, jnp.zeros_like(pb)),
+                                    axis=0))
+            return mx, outs
+
+        def step(carry, xs):
+            g, t, valid = xs            # g: [N_flat] gathered senone costs
+            newc = {"ch": [], "ci": []}
+            outs_last = []              # chain last-depth outs (multi)
+            ch_exits = []               # per-bucket saved arrays
+            # ---------- chain buckets (multi first+interior) ----------
+            for bi, ch in enumerate(self.chains):
+                e = carry["ch"][bi]
+                pre = seg_of(g, si_ch[bi])           # [3, D, Wb] costs
+                prev = seg_of(g, si_fv[bi])          # [3, RF, Wb]
+                fm = ch_fm[bi]                       # [D, Wb]
+                nv = jnp.asarray(ch.n_var)
+                sen = []
+                for j in range(NST):
+                    sf = first_select(-prev[j], e["VAR"][j], nv)
+                    s = -pre[j]
+                    s = jnp.where(fm, sf[None, :], s)
+                    sen.append(s)
+                metas = (e["TF"], e["CTX"],
+                         tuple(jnp.broadcast_to(v[None, :], (ch.D, ch.Wb))
+                               for v in e["VAR"]))
+                newS, (nTF, nCTX, nVARd), out, _, (oTF, oCTX, _) = \
+                    hmm_step_sm(e["S"], tuple(sen), ch_tp[bi], metas=metas)
+                # intra-word shift: node d's state0 entry from node d-1
+                sh = jnp.concatenate(
+                    [jnp.full((1, ch.Wb), NEG_INF), out[:-1]]) + pip
+                sh = jnp.where(fm, NEG_INF, sh)   # first node: word entry only
+                shTF = jnp.concatenate([oTF[:1], oTF[:-1]])
+                shCTX = jnp.concatenate([oCTX[:1], oCTX[:-1]])
+                win = sh > newS[0]
+                s0 = jnp.where(win, sh, newS[0])
+                tf0 = jnp.where(win, shTF, nTF[0])
+                cx0 = jnp.where(win, shCTX, nCTX[0])
+                newc["ch"].append(dict(
+                    S=(s0,) + newS[1:], TF=(tf0,) + nTF[1:],
+                    CTX=(cx0,) + nCTX[1:],
+                    VAR=tuple(jnp.sum(jnp.where(fm, v, 0), axis=0)
+                              for v in nVARd)))
+                outs_last.append(out[-1])
+                ch_exits.append((out, oTF, oCTX))
+            # ---------- finals fan ----------
+            if n_multi:
+                e = carry["fin"]
+                pre = seg_of(g, si_fin)              # [3, n_rc, Wm]
+                sen = tuple(-pre[j] for j in range(NST))
+                newS, (nTF, nCTX), out_f, _, (oTF_f, oCTX_f) = hmm_step_sm(
+                    e["S"], sen, tp_fin, metas=(e["TF"], e["CTX"]))
+                # entry from chain last depth
+                pred = jnp.concatenate(outs_last) + pip        # [Wm]
+                predTF = jnp.concatenate([x[1][-1] for x in ch_exits])
+                predCTX = jnp.concatenate([x[2][-1] for x in ch_exits])
+                win = pred[None, :] > newS[0]
+                finS0 = jnp.where(win, pred[None, :], newS[0])
+                finTF0 = jnp.where(win, predTF[None, :], nTF[0])
+                finCTX0 = jnp.where(win, predCTX[None, :], nCTX[0])
+                fin_new = dict(S=(finS0,) + newS[1:],
+                               TF=(finTF0,) + nTF[1:],
+                               CTX=(finCTX0,) + nCTX[1:])
+                sv_m = out_f                                    # [n_rc, Wm]
+                esc_m, (etf_m, ecx_m) = argmax_payload(
+                    out_f, [oTF_f, oCTX_f])
+            else:
+                fin_new, sv_m = None, jnp.zeros((n_rc, 0))
+                esc_m = jnp.zeros((0,))
+                etf_m = ecx_m = jnp.zeros((0,), jnp.int32)
+            # ---------- single-phone columns ----------
+            if SP:
+                e = carry["sp"]
+                pre = seg_of(g, si_sp)
+                sen = tuple(-pre[j] for j in range(NST))
+                newS, (nTF, nCTX), out_s, _, (oTF_s, oCTX_s) = hmm_step_sm(
+                    e["S"], sen, tp_sp, metas=(e["TF"], e["CTX"]))
+                sp_new = dict(S=newS, TF=nTF, CTX=nCTX)
+                colb, (coltf, colcx) = argmax_payload(
+                    out_s, [oTF_s, oCTX_s])                     # [SP]
+                esc_s, etf_s, ecx_s, etg_s, sv_s_w = [], [], [], [], []
+                for k, c0, c1 in self.sp_ranges:
+                    seg = colb[c0:c1]
+                    mx, (tf_, cx_, tg_) = argmax_payload(
+                        seg, [coltf[c0:c1], colcx[c0:c1],
+                              jnp.arange(c0, c1, dtype=jnp.int32)])
+                    esc_s.append(mx[None])
+                    etf_s.append(tf_[None])
+                    ecx_s.append(cx_[None])
+                    etg_s.append(tg_[None] + n_multi)
+                    sv_s_w.append(jnp.max(out_s[:, c0:c1], axis=1,
+                                          keepdims=True))
+                esc_s = jnp.concatenate(esc_s)
+                etf_s = jnp.concatenate(etf_s)
+                ecx_s = jnp.concatenate(ecx_s)
+                etg_s = jnp.concatenate(etg_s)
+                sv_s = jnp.concatenate(sv_s_w, axis=1)      # [n_rc, W_sp]
+            else:
+                sp_new = None
+                sv_s = jnp.zeros((n_rc, 0))
+                esc_s = jnp.zeros((0,))
+                etf_s = ecx_s = jnp.zeros((0,), jnp.int32)
+                etg_s = jnp.zeros((0,), jnp.int32)
+            # ---------- CI chains ----------
+            esc_c, etf_c, ecx_c = [], [], []
+            for bi, ch in enumerate(self.ci_chains):
+                e = carry["ci"][bi]
+                pre = seg_of(g, si_ci[bi])
+                sen = tuple(-pre[j] for j in range(NST))
+                newS, (nTF, nCTX), out, _, (oTF, oCTX) = hmm_step_sm(
+                    e["S"], sen, ci_tp[bi], metas=(e["TF"], e["CTX"]))
+                fm = ci_fm[bi]
+                sh = jnp.concatenate(
+                    [jnp.full((1, ch.Wb), NEG_INF), out[:-1]]) + pip
+                sh = jnp.where(fm, NEG_INF, sh)
+                shTF = jnp.concatenate([oTF[:1], oTF[:-1]])
+                shCTX = jnp.concatenate([oCTX[:1], oCTX[:-1]])
+                win = sh > newS[0]
+                newc["ci"].append(dict(
+                    S=(jnp.where(win, sh, newS[0]),) + newS[1:],
+                    TF=(jnp.where(win, shTF, nTF[0]),) + nTF[1:],
+                    CTX=(jnp.where(win, shCTX, nCTX[0]),) + nCTX[1:]))
+                esc_c.append(out[-1])
+                etf_c.append(oTF[-1])
+                ecx_c.append(oCTX[-1])
+            esc_c = (jnp.concatenate(esc_c) if esc_c
+                     else jnp.zeros((0,)))
+            etf_c = (jnp.concatenate(etf_c) if etf_c
+                     else jnp.zeros((0,), jnp.int32))
+            ecx_c = (jnp.concatenate(ecx_c) if ecx_c
+                     else jnp.zeros((0,), jnp.int32))
+
+            # ---------- word transitions ----------
+            escore = jnp.concatenate([esc_m, esc_s, esc_c])      # [W]
+            etf_w = jnp.concatenate([etf_m, etf_s, etf_c])
+            ecx_w = jnp.concatenate([ecx_m, ecx_s, ecx_c])
+            etgt_w = jnp.asarray(self.etgt0.astype(np.int32))
+            if SP:
+                etgt_w = jnp.concatenate([
+                    etgt_w[:n_multi], etg_s, etgt_w[n_multi + self.n_single:]])
+            sv = jnp.concatenate([sv_m, sv_s,
+                                  jnp.tile(esc_c[None], (n_rc, 1))], axis=1)
+            kv, ki = jax.lax.top_k(escore, K)
+            onek = (ki[:, None] == jnp.arange(W)[None, :]).astype(jnp.float32)
+            # per-K payloads via exact f32 matmul (values < 2^24)
+            HI = jax.lax.Precision.HIGHEST
+            pay = jnp.stack([ecx_w.astype(jnp.float32),
+                             jnp.asarray(self.fb_ci.astype(np.float32))],
+                            axis=1)                              # [W, 2]
+            payk = jnp.einsum("kw,wp->kp", onek, pay, precision=HI)
+            ctx_k = payk[:, 0].astype(jnp.int32)
+            fb_k = payk[:, 1].astype(jnp.int32)
+            rw1_k = ctx2h1[ctx_k]                                # [K] gather
+            rw2_k = ctx2h2[ctx_k]
+            svk = jnp.einsum("kw,rw->kr", onek, sv,
+                             precision=HI)                       # [K, n_rc]
+            exg = jnp.einsum("kr,er->ke", svk, f0_onehot,
+                             precision=HI)                       # [K, E]
+            lmrow = jax.vmap(lambda i: jax.lax.dynamic_slice_in_dim(
+                rows_tab, i, 1, 0)[0])(ctx_k)                    # [K, E]
+            ctxrow = jax.vmap(lambda i: jax.lax.dynamic_slice_in_dim(
+                ctx_next, i, 1, 0)[0])(jnp.maximum(rw1_k, 0))    # [K, E]
+            fb_oh = (fb_k[:, None] ==
+                     jnp.arange(n_ciph)[None, :]).astype(jnp.float32)
+            accm = jnp.einsum("kc,ec->ke", fb_oh, accept_E,
+                              precision=HI)
+            cand = exg + jnp.where(isfill_E[None, :],
+                                   fillpen_E[None, :],
+                                   lmrow + wpen) \
+                + (accm - 1.0) * jnp.float32(1e30) \
+                + jnp.where(kv[:, None] > NEG_INF / 2, 0.0,
+                            jnp.float32(NEG_INF))
+            entry, (prw_e, ctxsel, srcctx, srcrw1, srcrw2, fb_e) = \
+                argmax_payload(
+                    cand, [ki[:, None].astype(jnp.float32),
+                           ctxrow,
+                           ctx_k[:, None].astype(jnp.float32),
+                           rw1_k[:, None].astype(jnp.float32),
+                           rw2_k[:, None].astype(jnp.float32),
+                           fb_k[:, None].astype(jnp.float32)])
+            ctx_new = jnp.where(isfill_E, srcctx, ctxsel).astype(jnp.int32)
+            erw1 = jnp.where(isreal_E, lmwid_E, srcrw1).astype(jnp.int32)
+            # filler tokens inherit the source's full history; real words
+            # shift it (h2' = h1_src).  h2 here is the LM-context h2
+            # (identical to the true one whenever the (h2, h1) bigram
+            # exists; LM-equivalent either way)
+            erw2 = jnp.where(isreal_E, srcrw1, srcrw2).astype(jnp.int32)
+            # new left-context class (per multi word) from the winning
+            # source's final base phone: one-hot sum over CI phones
+            if n_multi:
+                fbm = fb_e[:n_multi].astype(jnp.int32)
+                lccT = jnp.asarray(self.lc_cls.T)        # [n_ciph, Wm]
+                oh = jax.lax.broadcasted_iota(
+                    jnp.int32, (n_ciph, n_multi), 0) == fbm[None, :]
+                var_new = jnp.sum(jnp.where(oh, lccT, 0), axis=0)
+            else:
+                var_new = jnp.zeros(0, jnp.int32)
+            tf_new = (t + 1).astype(jnp.int32)
+
+            # ---------- apply entries ----------
+            off = 0
+            for bi, ch in enumerate(self.chains):
+                e = newc["ch"][bi]
+                ent = entry[off:off + ch.Wb]
+                fm = ch_fm[bi]
+                cand0 = jnp.where(fm, ent[None, :], NEG_INF)
+                win = cand0 > e["S"][0]
+                e["S"] = (jnp.where(win, cand0, e["S"][0]),) + e["S"][1:]
+                e["TF"] = (jnp.where(win, tf_new, e["TF"][0]),) + e["TF"][1:]
+                e["CTX"] = (jnp.where(
+                    win, ctx_new[None, off:off + ch.Wb] *
+                    jnp.ones((ch.D, 1), jnp.int32), e["CTX"][0]),) \
+                    + e["CTX"][1:]
+                winv = jnp.sum(jnp.where(win & fm, 1, 0), axis=0) > 0
+                e["VAR"] = (jnp.where(winv, var_new[off:off + ch.Wb],
+                                      e["VAR"][0]),) + e["VAR"][1:]
+                off += ch.Wb
+            if SP:
+                ent = entry[n_multi:n_multi + SP]
+                e = sp_new
+                win = ent[None, :] > e["S"][0]
+                e["S"] = (jnp.where(win, ent[None, :], e["S"][0]),) \
+                    + e["S"][1:]
+                e["TF"] = (jnp.where(win, tf_new, e["TF"][0]),) + e["TF"][1:]
+                e["CTX"] = (jnp.where(
+                    win, ctx_new[None, n_multi:n_multi + SP] *
+                    jnp.ones((n_rc, 1), jnp.int32), e["CTX"][0]),) \
+                    + e["CTX"][1:]
+            off = n_multi + SP
+            for bi, ch in enumerate(self.ci_chains):
+                e = newc["ci"][bi]
+                ent = entry[off:off + ch.Wb]
+                fm = ci_fm[bi]
+                cand0 = jnp.where(fm, ent[None, :], NEG_INF)
+                win = cand0 > e["S"][0]
+                e["S"] = (jnp.where(win, cand0, e["S"][0]),) + e["S"][1:]
+                e["TF"] = (jnp.where(win, tf_new, e["TF"][0]),) + e["TF"][1:]
+                e["CTX"] = (jnp.where(
+                    win, ctx_new[None, off:off + ch.Wb] *
+                    jnp.ones((ch.D, 1), jnp.int32), e["CTX"][0]),) \
+                    + e["CTX"][1:]
+                off += ch.Wb
+            if fin_new is not None:
+                newc["fin"] = fin_new
+            else:
+                newc["fin"] = None
+            newc["sp"] = sp_new
+
+            # ---------- renormalize ----------
+            def all_s(c):
+                xs_ = []
+                for e in c["ch"] + c["ci"]:
+                    xs_ += [jnp.max(s) for s in e["S"]]
+                if c["fin"] is not None:
+                    xs_ += [jnp.max(s) for s in c["fin"]["S"]]
+                if c["sp"] is not None:
+                    xs_ += [jnp.max(s) for s in c["sp"]["S"]]
+                return jnp.max(jnp.stack(xs_))
+
+            m = jnp.maximum(all_s(newc), jnp.float32(NEG_INF))
+
+            def renorm(c):
+                for e in c["ch"] + c["ci"] + (
+                        [c["fin"]] if c["fin"] is not None else []) + (
+                        [c["sp"]] if c["sp"] is not None else []):
+                    e["S"] = tuple(s - m for s in e["S"])
+                return c
+
+            newc = renorm(newc)
+            newc = jax.tree.map(
+                lambda new, old: jnp.where(valid, new, old), newc, carry)
+            rec = (escore, etf_w, etgt_w, ecx_w,
+                   entry, prw_e.astype(jnp.int32), erw1, erw2, m)
+            return newc, rec
+
+        CHp = CH
+        senid_all_len = len(senid_all)
+
+        def scan_fn(costs, valid, carry=None, t0=0):
+            T = costs.shape[0]
+            Tp = -(-T // CHp) * CHp
+            costs = jnp.pad(costs, ((0, Tp - T), (0, 0)))
+            valid = jnp.pad(valid, (0, Tp - T))
+            tarr = t0 + jnp.arange(Tp, dtype=jnp.int32)
+            cc = costs.reshape(Tp // CHp, CHp, -1)
+            vv = valid.reshape(Tp // CHp, CHp)
+            tt = tarr.reshape(Tp // CHp, CHp)
+
+            def outer(c, xch):
+                cchunk, vchunk, tchunk = xch
+                g = cchunk[:, senid_all_j]          # [CH, N_flat] pre-gather
+                c, ys = jax.lax.scan(step, c, (g, tchunk, vchunk))
+                return c, ys
+
+            carry_out, recs = jax.lax.scan(
+                outer, self.init_carry if carry is None else carry,
+                (cc, vv, tt))
+            recs = jax.tree.map(
+                lambda r: r.reshape((Tp,) + r.shape[2:]), recs)
+            return recs, carry_out
+
+        jitted = jax.jit(scan_fn)
+
+        def run(costs, valid):
+            return jitted(costs, valid)[0]
+
+        run.with_carry = jitted
+        self._scan_fn = run
+        return self._scan_fn
+
+    # -- records adapter -----------------------------------------------------
+
+    def adapt_records(self, raw, T):
+        """Join raw scan records into the round-2 flat-record format
+        (escore, estf, eprw, eascr, eh1, eh2, ectx) [T, W] consumed by
+        the lattice layer, backtrace, and tests."""
+        escore, etf, etgt, ectx, entv, eprw, erw1, erw2, m = \
+            [np.asarray(r)[:T] for r in raw]
+        Tn = escore.shape[0]
+        Mcp = np.concatenate([[0.0], np.cumsum(m)])  # Mcp[t] = sum m[<t]
+        tf = etf.astype(np.int64)
+        tg = etgt.astype(np.int64)
+        tfi = np.clip(tf - 1, 0, Tn - 1)
+        has = tf > 0
+        eprw_x = np.where(has, eprw[tfi, tg], -1).astype(np.int32)
+        entv_x = np.where(has, entv[tfi, tg], 0.0)
+        corr = Mcp[np.arange(Tn)][:, None] - np.where(has, Mcp[tfi], 0.0)
+        eascr = (escore - entv_x + corr).astype(np.float32)
+        s_lm = self.lm.wid("<s>") if self.start_idx is not None else -1
+        eh1 = np.where(has, erw1[tfi, tg], max(s_lm, 0)).astype(np.int32)
+        eh2 = np.where(has, erw2[tfi, tg], self.V).astype(np.int32)
+        return (escore.astype(np.float32), tf.astype(np.int32), eprw_x,
+                eascr, eh1, eh2, ectx.astype(np.int32))
+
+    # -- decode --------------------------------------------------------------
+
+    def decode(self, feats, costs=None):
+        import jax.numpy as jnp
+        from ..models.acoustic import senone_scores_jax
+
+        if costs is None:
+            costs = senone_scores_jax(
+                self.am.scoring_arrays, self.am.cb_groups,
+                np.asarray(feats)[None].astype(np.float32))[0]
+        costs = jnp.asarray(costs)
+        T = costs.shape[0]
+        raw = self._make_scan()(costs, jnp.ones(T, bool))
+        self.raw_records = tuple(np.asarray(r) for r in raw)
+        self.records = self.adapt_records(self.raw_records, T)
+        return self._backtrace(self.records, T)
+
+    def decode_batch(self, feats, n_frames):
+        import jax
+        import jax.numpy as jnp
+        from ..models.acoustic import senone_scores_jax
+
+        feats = jnp.asarray(feats)
+        B, T = feats.shape[:2]
+        n_frames = jnp.asarray(n_frames)
+        costs = senone_scores_jax(self.am.scoring_arrays,
+                                  self.am.cb_groups, feats)
+        valid = jnp.arange(T)[None, :] < n_frames[:, None]
+        raw = jax.vmap(self._make_scan())(costs, valid)
+        raw = tuple(np.asarray(r) for r in raw)
+        out = []
+        nf = np.asarray(n_frames)
+        self.batch_records = []
+        for b in range(B):
+            adapted = self.adapt_records(tuple(r[b] for r in raw),
+                                         int(nf[b]))
+            self.batch_records.append(adapted)
+            out.append(self._backtrace(adapted, int(nf[b])))
+        return out
+
+    def _backtrace(self, recs, T):
+        if len(recs) == 8:       # raw records (e.g. parallel pipeline)
+            recs = self.adapt_records(recs, T)
+        from .ngram_flat import NgramFlatDecoder
+        return NgramFlatDecoder._backtrace(self, recs, T)
