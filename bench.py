@@ -30,14 +30,14 @@ def build(ref, dic, lmfile, lw=6.5, wip=0.65):
     from pocketsphinx_tpu.models.dict2pid import Dict2Pid
     from pocketsphinx_tpu.fileio.dictionary import Dictionary
     from pocketsphinx_tpu.lm.ngram import read_lm
-    from pocketsphinx_tpu.search.ngram_flat import NgramFlatDecoder
+    from pocketsphinx_tpu.search.ngram_fused import NgramFusedDecoder
 
     model_dir = os.path.join(ref, "model/en-us/en-us")
     am = AcousticModel.load(model_dir)
     d = Dictionary(am.mdef, dic, os.path.join(model_dir, "noisedict"))
     d2p = Dict2Pid(am.mdef, d)
     lm = read_lm(lmfile, lw=lw, wip=wip)
-    return NgramFlatDecoder(am, d2p, lm)
+    return NgramFusedDecoder(am, d2p, lm)
 
 
 def bench_config(dec, fe, pcm, B, n_iter, measure_stages=False):

@@ -529,7 +529,8 @@ class Decoder:
                 search.words[search.finish_idx])
         hyp, segs, score = lat.bestpath(lm=lm, lwf=lwf, silpen=silpen,
                                         fillpen=fillpen,
-                                        finish_word=finish)
+                                        finish_word=finish,
+                                        ascale=self.config["ascale"])
         if not hyp and not segs:
             return
         post = lat.posterior(lm=lm, ascale=self.config["ascale"])

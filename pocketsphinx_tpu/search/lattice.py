@@ -348,6 +348,10 @@ class Lattice:
                            + self._link_bprob(li, back, lm))
         norm += self.final_node_ascr * sc
         self._alpha, self._back, self.norm = alpha, back, norm
+        # cache the (lm, ascale) the forward pass used so posterior()
+        # can detect mismatched reuse (ADVICE r2: mixing alphas and
+        # betas computed under different scales corrupts posteriors)
+        self._fwd_lm, self._fwd_ascale = lm, ascale
         for li, l in enumerate(self.links):
             l.alpha = alpha[li]
 
@@ -402,8 +406,10 @@ class Lattice:
         filler-skip walk at :1482-1493).  Runs bestpath's forward pass
         first when it hasn't run (the reference requires bestpath
         before posterior, src/ngram_search.c:828-837)."""
-        if getattr(self, "_alpha", None) is None or \
-                len(self._alpha) != len(self.links):
+        if getattr(self, "_alpha", None) is None \
+                or len(self._alpha) != len(self.links) \
+                or getattr(self, "_fwd_lm", None) is not lm \
+                or getattr(self, "_fwd_ascale", None) != ascale:
             self.bestpath(lm=lm, ascale=ascale)
         alpha, back = self._alpha, self._back
         order = self._topo_links()
@@ -455,13 +461,18 @@ class Lattice:
             self.post = jprob - norm
         return self.post
 
-    def posterior_prune(self, beam: float):
+    def posterior_prune(self, beam: float, lm=None, ascale: float = 20.0):
         """Remove links whose posterior is more than `beam` (negative,
         nats) below the best, then drop unreachable nodes
         (ps_lattice_posterior_prune, src/ps_lattice.c:1526-1567).
-        Returns the number of links pruned."""
-        if not self.links or self.links[0].post <= NEG_INF:
-            self.posterior()
+        Returns the number of links pruned.  When posteriors have not
+        been computed yet, runs posterior() with the given lm/ascale
+        (ADVICE r2: no silent LM-free fallback)."""
+        if not self.links:
+            return 0
+        if getattr(self, "_alpha", None) is None \
+                or any(l.post <= NEG_INF for l in self.links):
+            self.posterior(lm=lm, ascale=ascale)
         keep = [li for li, l in enumerate(self.links)
                 if l.alpha + l.beta - self.norm >= beam
                 or l.src == self.start or l.dst == self.end]

@@ -249,14 +249,24 @@ class NgramFlatDecoder:
         ctx_next = np.empty((V + 1, W), dtype=np.int32)
         ctx_next[:, :] = (1 + self.col_lm)[None, :]
         if with_tri:
+            # vectorized scatter of trigram-context successors (ADVICE
+            # r2 low #4: no per-bigram-entry Python loop)
             ho, hn = lm.bigram_entries()
-            cols_by_wid: dict[int, list[int]] = {}
-            for j in range(W):
-                if not self.is_fill[j]:
-                    cols_by_wid.setdefault(int(self.col_lm[j]), []).append(j)
-            for b in range(len(ho)):
-                for j in cols_by_wid.get(int(hn[b]), ()):
-                    ctx_next[ho[b], j] = 1 + V + b
+            real_cols = np.nonzero(~self.is_fill)[0]
+            key = self.col_lm[real_cols]
+            order = np.argsort(key, kind="stable")
+            skey = key[order]
+            beg = np.searchsorted(skey, hn)
+            end = np.searchsorted(skey, hn, side="right")
+            cnt = end - beg
+            if cnt.sum():
+                r_idx = np.repeat(ho, cnt)
+                v_idx = np.repeat(1 + V + np.arange(len(ho)), cnt)
+                base = np.repeat(beg, cnt)
+                within = (np.arange(cnt.sum())
+                          - np.repeat(np.cumsum(cnt) - cnt, cnt))
+                c_idx = real_cols[order[base + within]]
+                ctx_next[r_idx, c_idx] = v_idx
         self._lm_rows, self._ctx_next = rows, ctx_next
         return rows, ctx_next
 

@@ -884,7 +884,7 @@ class NgramFusedDecoder:
         return out
 
     def _backtrace(self, recs, T):
-        if len(recs) == 8:       # raw records (e.g. parallel pipeline)
+        if len(recs) == 9:       # raw records (e.g. parallel pipeline)
             recs = self.adapt_records(recs, T)
         from .ngram_flat import NgramFlatDecoder
         return NgramFlatDecoder._backtrace(self, recs, T)
