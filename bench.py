@@ -1,14 +1,20 @@
-"""Benchmark: batched decode-pipeline throughput on one TPU chip.
+"""Benchmark: batched decode-pipeline throughput + corpus WER on one
+TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Two configurations of the full pipeline (PCM -> MFCC -> features ->
-dense PTM senone scoring -> exact-trigram flat Viterbi scan):
+Configurations of the full pipeline (PCM -> MFCC -> features -> dense
+PTM senone scoring -> exact-trigram fused Viterbi scan):
 
   * large (headline): 1.7k-word vocabulary with the committed
-    bench_data/bench-1.7k LM (30k bigrams / 33k trigram contexts) —
-    the realistic-scale number VERDICT r1 asked for;
-  * turtle: round 1's 91-word config, kept as a non-regression check.
+    bench_data/bench-1.7k LM;
+  * turtle: round 1's 91-word config, kept as a non-regression check;
+  * wer20k: the 20k-word cmudict task (bench_data/bench-20k, scalable
+    "mode B" LM path) decoding the librivox clips + goforward and
+    scoring corpus WER against the transcripts.  The committed
+    tests/golden/wer20k/ref.json holds the reference binary's WER on
+    the SAME task (the "equal WER to pocketsphinx_batch" contract,
+    BASELINE.json).  Skipped when BENCH_SKIP_20K=1.
 
 Also reports the per-stage share (frontend / scoring / scan) for the
 large config, measured by timing nested jit prefixes.
@@ -98,6 +104,59 @@ def bench_config(dec, fe, pcm, B, n_iter, measure_stages=False):
     return res
 
 
+def bench_wer20k(ref, here, fe):
+    """Decode the librivox corpus + goforward with the 20k-word task;
+    return WER + throughput + the reference binary's WER on the same
+    task (from the committed golden)."""
+    import glob
+    import json as _json
+    import time
+    import numpy as np
+    from pocketsphinx_tpu.frontend.feat import compute_feats
+    from pocketsphinx_tpu.fileio.sound import read_audio
+    from pocketsphinx_tpu.wer import wer
+
+    dec = build(ref, os.path.join(here, "bench_data/bench-20k.dic"),
+                os.path.join(here, "bench_data/bench-20k.lm.bin"))
+    clips = []
+    for p in sorted(glob.glob(ref + "/test/data/librivox/*.wav")):
+        pcm, sr = read_audio(p)
+        assert sr == 16000
+        txt = open(p[:-4] + ".txt").read().split()
+        clips.append((pcm, txt))
+    pcm = np.frombuffer(open(ref + "/test/data/goforward.raw",
+                             "rb").read(), dtype="<i2")
+    clips.append((pcm, "go forward ten meters".split()))
+    per_utt = [compute_feats(fe.process(p), cmn="batch")
+               for p, _ in clips]
+    nfr = [len(f) for f in per_utt]
+    feats = np.zeros((len(clips), max(nfr)) + per_utt[0].shape[1:],
+                     np.float32)
+    for i, f in enumerate(per_utt):
+        feats[i, :len(f)] = f
+    t0 = time.time()
+    out = dec.decode_batch(feats, np.array(nfr))
+    dt = time.time() - t0
+    audio_s = sum(len(p) for p, _ in clips) / 16000.0
+    refs = [t for _, t in clips]
+    hyps = [h.split() for h, _ in out]
+    ours = wer(refs, hyps)
+    golden = os.path.join(here, "tests/golden/wer20k/ref.json")
+    ref_wer = None
+    if os.path.exists(golden):
+        ref_wer = _json.load(open(golden))["_aggregate"]["wer"]
+    return {
+        "W": dec.W, "lm_mode": dec.lm_mode,
+        "lm_order_used": dec.lm_order_used,
+        "wer": round(ours["wer"], 4),
+        "ref_binary_wer": (round(ref_wer, 4)
+                           if ref_wer is not None else None),
+        "n_ref_words": ours["n_ref"],
+        "throughput": round(audio_s / dt, 2),
+        "audio_s": round(audio_s, 1),
+    }
+
+
 def main():
     ref = os.environ.get("PS_REFERENCE", "/root/reference")
     here = os.path.dirname(os.path.abspath(__file__))
@@ -133,6 +192,13 @@ def main():
                          n_iter=n_iter)
     small["W"] = dec_sm.W
 
+    wer20k = None
+    if not os.environ.get("BENCH_SKIP_20K"):
+        try:
+            wer20k = bench_wer20k(ref, here, fe)
+        except Exception as e:
+            wer20k = {"error": repr(e)[:200]}
+
     value = big["throughput"]
     print(json.dumps({
         "metric": "audio_s_per_s_per_chip",
@@ -145,6 +211,7 @@ def main():
                       for k, v in big.items()},
             "turtle": {k: (round(v, 4) if isinstance(v, float) else v)
                        for k, v in small.items()},
+            "wer20k": wer20k,
         },
     }))
 

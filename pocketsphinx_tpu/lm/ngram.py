@@ -297,6 +297,79 @@ class NgramModel:
         rows += np.float32(self.log_wip)
         return rows, with_tri
 
+    def bigram_rows_dense(self, cols: np.ndarray,
+                          chunk: int = 2048) -> np.ndarray:
+        """[V+1, C] weighted bigram successor table: row h < V is the
+        exact P(col | h) Katz row, row V is the empty-history (unigram)
+        row.  The scalable decoder path ("mode B") pairs this with
+        sparse per-context trigram corrections instead of materializing
+        a row per trigram context (src/lm/lm_trie.c:400-414 semantics
+        at O(V*C) memory)."""
+        V = self.counts[0]
+        cols = np.asarray(cols, dtype=np.int64)
+        C = len(cols)
+        n_bg = self.counts[1] if self.order >= 2 else 0
+        uni = self.lv_prob[0][:V].astype(np.float32)
+        bo1 = self.lv_bo[0][:V].astype(np.float32)
+        out = np.empty((V + 1, C), dtype=np.float32)
+        out[V] = uni[cols]
+        nxt0 = self.lv_next[0] if n_bg else None
+        w1 = self.lv_words[1] if n_bg else None
+        p1 = self.lv_prob[1].astype(np.float32) if n_bg else None
+        for h0 in range(0, V, chunk):
+            h1 = min(h0 + chunk, V)
+            B = uni[None, :] + bo1[h0:h1, None]
+            if n_bg:
+                for i in range(h0, h1):
+                    beg, end = int(nxt0[i]), int(nxt0[i + 1])
+                    if beg < end:
+                        B[i - h0, w1[beg:end]] = p1[beg:end]
+            out[h0:h1] = B[:, cols]
+        out *= np.float32(self.lw)
+        out += np.float32(self.log_wip)
+        return out
+
+    def trigram_corrections(self, cols: np.ndarray):
+        """Per-bigram-context sparse trigram overrides for mode B.
+
+        Returns (tgc_next [n_bg+1] int64 CSR ranges, tg_cols int32,
+        tg_vals f32, bo2w [n_bg] f32): for bigram-entry context b,
+        entries tgc_next[b]:tgc_next[b+1] give the output columns whose
+        score is replaced by the explicit weighted trigram probability;
+        bo2w[b] is the weighted trigram backoff added to the bigram row
+        otherwise.  Columns are expanded per duplicate (alternate
+        pronunciations map several decoder columns to one LM word)."""
+        V = self.counts[0]
+        cols = np.asarray(cols, dtype=np.int64)
+        n_bg = self.counts[1] if self.order >= 2 else 0
+        if self.order < 3 or not n_bg or not len(self.lv_words[2]):
+            return (np.zeros(n_bg + 1, np.int64), np.zeros(0, np.int32),
+                    np.zeros(0, np.float32),
+                    np.zeros(max(n_bg, 0), np.float32))
+        bo2w = (self.lv_bo[1].astype(np.float32)
+                * np.float32(self.lw))
+        par2 = self._parents(2)
+        w2 = self.lv_words[2].astype(np.int64)
+        p2 = (self.lv_prob[2].astype(np.float32) * np.float32(self.lw)
+              + np.float32(self.log_wip))
+        # map LM word -> output columns (duplicates for alternates)
+        order = np.argsort(cols, kind="stable")
+        skey = cols[order]
+        beg = np.searchsorted(skey, w2)
+        end = np.searchsorted(skey, w2, side="right")
+        cnt = end - beg
+        tot = int(cnt.sum())
+        base = np.repeat(beg, cnt)
+        within = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        tg_cols = order[base + within].astype(np.int32)
+        tg_vals = np.repeat(p2, cnt)
+        tg_par = np.repeat(par2, cnt)
+        # group by parent context (par2 already sorted ascending)
+        tgc_next = np.zeros(n_bg + 1, np.int64)
+        np.add.at(tgc_next, tg_par + 1, 1)
+        tgc_next = np.cumsum(tgc_next)
+        return tgc_next, tg_cols, tg_vals.astype(np.float32), bo2w
+
     # -- perplexity (pocketsphinx_lm_eval equivalent) ------------------------
 
     def sentence_score(self, words: list[str], start="<s>", end="</s>"):

@@ -70,17 +70,21 @@ class KwsDecoder:
         self._build()
 
     def _build(self):
-        mdef, d = self.mdef, self.dict
+        mdef, d, d2p = self.mdef, self.dict, self.d2p
+        sil = mdef.sil
         # background: all CI phones
         nci = mdef.n_ciphone
         self.bg_senid = mdef.sseq[mdef.phone_ssid[:nci]].astype(np.int32)
         tpc = self.am.tmat.tp[mdef.phone_tmat[:nci]].astype(np.float32)
         self.bg_tp = np.where(tpc == 255, NEG_INF, -tpc)
-        # keyphrases: concatenated word pronunciations (CI phones)
-        self.kw_phones = []
+        # keyphrases: per-word triphone chains with SIL outer contexts,
+        # exactly like kws_search_reinit (src/kws_search.c:80-107):
+        # first phone ldiph_lc(ci, next, SIL), last phone rssid with
+        # SIL right context, word-internal triphones in between
+        self.kw_units = []      # [(ci, ssid)] per keyphrase
         usable = []
         for phrase, thresh in self.keyphrases:
-            phones = []
+            units = []
             ok = True
             for w in phrase.split():
                 wid = d.wordid(w)
@@ -91,24 +95,35 @@ class KwsDecoder:
                         f"keyphrase {phrase!r}\n")
                     ok = False
                     break
-                phones.extend(int(p) for p in d.pron(wid))
-            if ok and phones:
+                pron = [int(p) for p in d.pron(wid)]
+                L = len(pron)
+                for p, ci in enumerate(pron):
+                    if p == 0:
+                        rc = pron[1] if L > 1 else sil
+                        ssid = int(d2p.ldiph_lc[ci, rc, sil])
+                    elif p == L - 1:
+                        uniq, cimap = d2p.rssid(ci, pron[p - 1])
+                        ssid = int(uniq[int(cimap[sil])])
+                    else:
+                        ssid = int(d2p.internal_ssids(wid)[p - 1])
+                    units.append((ci, ssid))
+            if ok and units:
                 usable.append((phrase, thresh))
-                self.kw_phones.append(phones)
+                self.kw_units.append(units)
         if not usable:
             raise ValueError("no usable keyphrases")
         self.keyphrases = usable
         self.thresholds = [math.log(t) / UNIT_NATS
                            for _, t in usable]
-        K = max(len(p) for p in self.kw_phones)
-        NK = len(self.kw_phones)
-        self.kw_len = np.array([len(p) for p in self.kw_phones])
+        K = max(len(u) for u in self.kw_units)
+        NK = len(self.kw_units)
+        self.kw_len = np.array([len(u) for u in self.kw_units])
         nst = mdef.n_emit_state
         senid = np.zeros((NK, K, nst), np.int32)
         tp = np.full((NK, K, nst, nst + 1), NEG_INF, np.float32)
-        for i, phones in enumerate(self.kw_phones):
-            for j, ci in enumerate(phones):
-                senid[i, j] = mdef.sseq[mdef.phone_ssid[ci]]
+        for i, units in enumerate(self.kw_units):
+            for j, (ci, ssid) in enumerate(units):
+                senid[i, j] = mdef.sseq[ssid]
                 t = self.am.tmat.tp[mdef.phone_tmat[ci]].astype(np.float32)
                 tp[i, j] = np.where(t == 255, NEG_INF, -t)
         self.kw_senid = senid
@@ -147,81 +162,81 @@ class KwsDecoder:
             bg_sen, kw_sen, t = xs
             Sbg, _, bg_out, _ = hmm_step(Sbg, bg_sen, bg_tp)
             bg_best = jnp.max(bg_out)
-            # background loop: re-enter all phones from the best exit
-            enter = bg_best + self.log_plp
-            Sbg = Sbg.at[:, 0].set(jnp.maximum(Sbg[:, 0], enter))
             # keyphrase chains
-            Skw, _, kw_out, _ = hmm_step(Skw, kw_sen, kw_tp)
-            # chain transitions j-1 -> j
-            ent = jnp.pad(kw_out[:, :-1], ((0, 0), (1, 0)),
-                          constant_values=NEG_INF)
-            win = ent > Skw[:, :, 0]
-            Skw = Skw.at[:, :, 0].set(jnp.where(win, ent, Skw[:, :, 0]))
-            newSTF = jnp.where(win, jnp.pad(STF[:, :-1], ((0, 0), (1, 0))),
-                               STF)
-            # keyphrase start: enter first phone from background
-            st_win = enter > Skw[:, 0, 0]
-            Skw = Skw.at[:, 0, 0].set(
-                jnp.where(st_win, enter, Skw[:, 0, 0]))
-            newSTF = newSTF.at[:, 0].set(
-                jnp.where(st_win, t + 1, newSTF[:, 0]))
-            # detection score: keyphrase exit vs background best
+            Skw, kwsrc, kw_out, kw_osrc = hmm_step(Skw, kw_sen, kw_tp)
+            # the detection fires BEFORE transitions, from this frame's
+            # exit scores (kws_search_trans order,
+            # src/kws_search.c:262-295): last hmm exit vs best phone-
+            # loop exit, sf = the token's entry frame
+            from ..ops.hmm import propagate_meta, out_meta
+            STF = propagate_meta(STF, kwsrc)
             kw_exit = jnp.take_along_axis(
                 kw_out, (kw_len - 1)[:, None], axis=1)[:, 0]
+            exit_stf = out_meta(STF, kw_osrc)
             kw_stf = jnp.take_along_axis(
-                newSTF, (kw_len - 1)[:, None], axis=1)[:, 0]
+                exit_stf, (kw_len - 1)[:, None], axis=1)[:, 0]
             valid = (kw_exit > NEG_INF / 2) & (bg_best > NEG_INF / 2)
             ratio = jnp.where(valid, kw_exit - bg_best, NEG_INF)
+            # background loop: re-enter all phones from the best exit
+            # with the loop probability
+            enter = bg_best + self.log_plp
+            Sbg = Sbg.at[:, 0].set(jnp.maximum(Sbg[:, 0], enter))
+            # chain transitions j-1 -> j (hmm_out(pred) vs hmm_in(next))
+            ent = jnp.pad(kw_out[:, :-1], ((0, 0), (1, 0)),
+                          constant_values=NEG_INF)
+            ent_stf = jnp.pad(out_meta(STF, kw_osrc)[:, :-1],
+                              ((0, 0), (1, 0)))
+            win = ent > Skw[:, :, 0]
+            Skw = Skw.at[:, :, 0].set(jnp.where(win, ent, Skw[:, :, 0]))
+            STF = STF.at[:, :, 0].set(
+                jnp.where(win, ent_stf, STF[:, :, 0]))
+            # keyphrase start: enter first phone from the best phone-
+            # loop exit with NO loop penalty, sf = current frame
+            # (src/kws_search.c:318-322)
+            st_win = bg_best > Skw[:, 0, 0]
+            Skw = Skw.at[:, 0, 0].set(
+                jnp.where(st_win, bg_best, Skw[:, 0, 0]))
+            STF = STF.at[:, 0, 0].set(
+                jnp.where(st_win, t, STF[:, 0, 0]))
             # renormalize
             m = jnp.maximum(jnp.max(Sbg), jnp.max(Skw))
             Sbg = Sbg - m
             Skw = Skw - m
-            return (Sbg, Skw, newSTF), (ratio, kw_stf)
+            return (Sbg, Skw, STF), (ratio, kw_stf)
 
         Sbg0 = np.full((nci, NST), NEG_INF, np.float32)
         Sbg0[:, 0] = 0.0
         Skw0 = np.full((NK, K, NST), NEG_INF, np.float32)
-        STF0 = np.zeros((NK, K), np.int32)
+        STF0 = np.zeros((NK, K, NST), np.int32)
         _, (ratios, stfs) = jax.lax.scan(
             step, (jnp.asarray(Sbg0), jnp.asarray(Skw0), jnp.asarray(STF0)),
             (bg_sen_all, kw_sen_all, jnp.arange(T, dtype=jnp.int32)))
         ratios = np.asarray(ratios)      # [T, NK]
         stfs = np.asarray(stfs)
-        # detection extraction with kws_delay: greedy local maxima above
-        # threshold, non-overlapping per keyphrase
+        # detection accumulation: the exact kws_detections_add merge
+        # (src/kws_detections.c:52-80 -- an overlapping same-keyphrase
+        # detection is replaced when the new probability is better) with
+        # prob = ratio - KWS_MAX (src/kws_search.c:59,290), then the
+        # kws_delay hyp filter (detections still within `delay` frames
+        # of the end are withheld, kws_detections_hyp_str)
+        KWS_MAX = 1500.0
         dets: list[Detection] = []
-        for i, (phrase, _) in enumerate(self.keyphrases):
-            thr = self.thresholds[i]
-            r = ratios[:, i]
-            t = 0
-            while t < T:
-                if r[t] >= thr:
-                    end = min(t + self.delay, T - 1)
-                    span = r[t:end + 1]
-                    best = t + int(np.argmax(span))
-                    dets.append(Detection(
-                        keyphrase=phrase, start=int(stfs[best, i]),
-                        end=best, score=float(r[best])))
-                    t = best + 1
-                    # skip until ratio drops below threshold
-                    while t < T and r[t] >= thr:
-                        t += 1
+        for t in range(T):
+            for i, (phrase, _) in enumerate(self.keyphrases):
+                if ratios[t, i] < self.thresholds[i] \
+                        or ratios[t, i] <= NEG_INF / 2:
+                    continue
+                sf, ef = int(stfs[t, i]), t
+                prob = float(ratios[t, i]) - KWS_MAX
+                for d_ in dets:
+                    if d_.keyphrase == phrase and d_.start < ef \
+                            and d_.end > sf:
+                        if d_.score < prob:
+                            d_.start, d_.end, d_.score = sf, ef, prob
+                        break
                 else:
-                    t += 1
-        # merge overlapping detections of the same phrase (one keyword
-        # instance can keep its ratio above threshold across re-triggers)
-        dets.sort(key=lambda d: (d.keyphrase, d.start))
-        merged: list[Detection] = []
-        for det in dets:
-            if (merged and merged[-1].keyphrase == det.keyphrase
-                    and det.start <= merged[-1].end):
-                if det.score > merged[-1].score:
-                    merged[-1] = Detection(det.keyphrase,
-                                           merged[-1].start, det.end,
-                                           det.score)
-                else:
-                    merged[-1].end = max(merged[-1].end, det.end)
-                continue
-            merged.append(det)
-        merged.sort(key=lambda d: d.start)
-        return merged
+                    dets.append(Detection(keyphrase=phrase, start=sf,
+                                          end=ef, score=prob))
+        dets = [d_ for d_ in dets if d_.end <= T - self.delay]
+        dets.sort(key=lambda d_: d_.start)
+        return dets

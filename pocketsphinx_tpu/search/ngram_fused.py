@@ -151,6 +151,7 @@ class NgramFusedDecoder:
     def _build(self):
         self._scan_fn = None
         self._lm_rows = None
+        self.lm_mode = None
         d, mdef, d2p = self.dict, self.mdef, self.d2p
         sseq = mdef.sseq
         tmat_tp = self.am.tmat.tp      # [n_tmat, NST, NST+1] uint8
@@ -341,7 +342,7 @@ class NgramFusedDecoder:
         ctx_next[h1, e] = context row carried after entering e's word
         with previous real word h1.  ctx2h1[r] = newest history word of
         class r (V for the empty class)."""
-        if self._lm_rows is not None:
+        if getattr(self, "lm_mode", None) is not None:
             return (self._lm_rows, self._ctx_next, self._ctx2h1,
                     self._ctx2h2)
         lm, V = self.lm, self.V
@@ -349,11 +350,38 @@ class NgramFusedDecoder:
         if budget is None:
             budget = int(os.environ.get("PS_LM_TABLE_BYTES", 2 << 30))
         cols_E = self.col_lm[self.e2w]
-        rows, with_tri = lm.dense_context_rows(cols_E, budget)
-        rows = rows / SHIFT
-        rows[:, self.isfill_E] = 0.0
-        self.lm_order_used = 3 if with_tri else (2 if lm.order >= 2 else 1)
-        R = rows.shape[0]
+        n_bg = lm.counts[1] if lm.order >= 2 else 0
+        R = 1 + V + n_bg
+        if lm.order < 3 or n_bg == 0 or R * self.nE * 4 <= budget:
+            # mode A: one dense successor row per history class
+            self.lm_mode = "rows"
+            rows, with_tri = lm.dense_context_rows(cols_E, budget)
+            rows = rows / SHIFT
+            rows[:, self.isfill_E] = 0.0
+            self.lm_order_used = 3 if with_tri else \
+                (2 if lm.order >= 2 else 1)
+            R = rows.shape[0]
+        else:
+            # mode B (scale): dense bigram rows [V+1, E] + sparse
+            # per-context trigram overrides -- exact trigram at
+            # O(V*E) memory instead of O((V+n_bigrams)*E)
+            self.lm_mode = "sparse"
+            rows = None
+            bg = lm.bigram_rows_dense(cols_E) / SHIFT
+            bg[:, self.isfill_E] = 0.0
+            tgc_next, tg_cols, tg_vals, bo2w = \
+                lm.trigram_corrections(cols_E)
+            S_max = int(np.max(tgc_next[1:] - tgc_next[:-1])) \
+                if n_bg else 0
+            self._lm_sparse = dict(
+                bg=bg, tgc_next=tgc_next.astype(np.int32),
+                tg_cols=np.concatenate(
+                    [tg_cols, np.zeros(S_max, np.int32)]),
+                tg_vals=np.concatenate(
+                    [tg_vals / SHIFT, np.zeros(S_max, np.float32)]),
+                bo2w=bo2w / SHIFT, S_max=S_max, n_bg=n_bg)
+            self.lm_order_used = 3 if len(tg_cols) else 2
+            with_tri = n_bg > 0
         ctx_next = np.empty((V + 1, self.nE), dtype=np.float32)
         ctx_next[:, :] = (1 + cols_E)[None, :].astype(np.float32)
         ctx2h1 = np.full(R, V, np.int32)
@@ -402,8 +430,24 @@ class NgramFusedDecoder:
         n_ciph = self.mdef.n_ciphone
         rows_np, ctxn_np, ctx2h1_np, ctx2h2_np = self._lm_tables()
         assert self.V < (1 << 15), "history packing needs V < 32768"
-        rows_tab = jnp.asarray(rows_np)                  # [R, E] f32
-        ctx_next = jnp.asarray(ctxn_np)                  # [V+1, E] f32
+        mode_rows = self.lm_mode == "rows"
+        # The LM row table and ctx_next can reach GBs at 20k+ words:
+        # they flow into the jitted scan as ARGUMENTS (self._dev_tables)
+        # rather than captured constants.  Inside the scan body the
+        # names rows_tab / bg_tab / ctx_next below refer to traced
+        # values bound by scan_fn.
+        dev_tables = {"ctx_next": ctxn_np}
+        if mode_rows:
+            dev_tables["rows"] = rows_np                 # [R, E] f32
+        else:
+            sp = self._lm_sparse
+            dev_tables["bg"] = sp["bg"]                  # [V+1, E] f32
+            bo2w_j = jnp.asarray(sp["bo2w"])
+            tgcn_j = jnp.asarray(sp["tgc_next"])
+            tgc_j = jnp.asarray(sp["tg_cols"])
+            tgv_j = jnp.asarray(sp["tg_vals"])
+            S_TRI = sp["S_max"]
+            N_BG = sp["n_bg"]
         ctx2h1 = jnp.asarray(ctx2h1_np)                  # [R] i32
         ctx2h2 = jnp.asarray(ctx2h2_np)                  # [R] i32
         accept_E = jnp.asarray(self.accept_E)            # [E, n_ciph]
@@ -514,280 +558,315 @@ class NgramFusedDecoder:
                                     axis=0))
             return mx, outs
 
-        def step(carry, xs):
-            g, t, valid = xs            # g: [N_flat] gathered senone costs
-            newc = {"ch": [], "ci": []}
-            outs_last = []              # chain last-depth outs (multi)
-            ch_exits = []               # per-bucket saved arrays
-            # ---------- chain buckets (multi first+interior) ----------
-            for bi, ch in enumerate(self.chains):
-                e = carry["ch"][bi]
-                pre = seg_of(g, si_ch[bi])           # [3, D, Wb] costs
-                prev = seg_of(g, si_fv[bi])          # [3, RF, Wb]
-                fm = ch_fm[bi]                       # [D, Wb]
-                nv = jnp.asarray(ch.n_var)
-                sen = []
-                for j in range(NST):
-                    sf = first_select(-prev[j], e["VAR"][j], nv)
-                    s = -pre[j]
-                    s = jnp.where(fm, sf[None, :], s)
-                    sen.append(s)
-                metas = (e["TF"], e["CTX"],
-                         tuple(jnp.broadcast_to(v[None, :], (ch.D, ch.Wb))
-                               for v in e["VAR"]))
-                newS, (nTF, nCTX, nVARd), out, _, (oTF, oCTX, _) = \
-                    hmm_step_sm(e["S"], tuple(sen), ch_tp[bi], metas=metas)
-                # intra-word shift: node d's state0 entry from node d-1
-                sh = jnp.concatenate(
-                    [jnp.full((1, ch.Wb), NEG_INF), out[:-1]]) + pip
-                sh = jnp.where(fm, NEG_INF, sh)   # first node: word entry only
-                shTF = jnp.concatenate([oTF[:1], oTF[:-1]])
-                shCTX = jnp.concatenate([oCTX[:1], oCTX[:-1]])
-                win = sh > newS[0]
-                s0 = jnp.where(win, sh, newS[0])
-                tf0 = jnp.where(win, shTF, nTF[0])
-                cx0 = jnp.where(win, shCTX, nCTX[0])
-                newc["ch"].append(dict(
-                    S=(s0,) + newS[1:], TF=(tf0,) + nTF[1:],
-                    CTX=(cx0,) + nCTX[1:],
-                    VAR=tuple(jnp.sum(jnp.where(fm, v, 0), axis=0)
-                              for v in nVARd)))
-                outs_last.append(out[-1])
-                ch_exits.append((out, oTF, oCTX))
-            # ---------- finals fan ----------
-            if n_multi:
-                e = carry["fin"]
-                pre = seg_of(g, si_fin)              # [3, n_rc, Wm]
-                sen = tuple(-pre[j] for j in range(NST))
-                newS, (nTF, nCTX), out_f, _, (oTF_f, oCTX_f) = hmm_step_sm(
-                    e["S"], sen, tp_fin, metas=(e["TF"], e["CTX"]))
-                # entry from chain last depth
-                pred = jnp.concatenate(outs_last) + pip        # [Wm]
-                predTF = jnp.concatenate([x[1][-1] for x in ch_exits])
-                predCTX = jnp.concatenate([x[2][-1] for x in ch_exits])
-                win = pred[None, :] > newS[0]
-                finS0 = jnp.where(win, pred[None, :], newS[0])
-                finTF0 = jnp.where(win, predTF[None, :], nTF[0])
-                finCTX0 = jnp.where(win, predCTX[None, :], nCTX[0])
-                fin_new = dict(S=(finS0,) + newS[1:],
-                               TF=(finTF0,) + nTF[1:],
-                               CTX=(finCTX0,) + nCTX[1:])
-                sv_m = out_f                                    # [n_rc, Wm]
-                esc_m, (etf_m, ecx_m) = argmax_payload(
-                    out_f, [oTF_f, oCTX_f])
-            else:
-                fin_new, sv_m = None, jnp.zeros((n_rc, 0))
-                esc_m = jnp.zeros((0,))
-                etf_m = ecx_m = jnp.zeros((0,), jnp.int32)
-            # ---------- single-phone columns ----------
-            if SP:
-                e = carry["sp"]
-                pre = seg_of(g, si_sp)
-                sen = tuple(-pre[j] for j in range(NST))
-                newS, (nTF, nCTX), out_s, _, (oTF_s, oCTX_s) = hmm_step_sm(
-                    e["S"], sen, tp_sp, metas=(e["TF"], e["CTX"]))
-                sp_new = dict(S=newS, TF=nTF, CTX=nCTX)
-                colb, (coltf, colcx) = argmax_payload(
-                    out_s, [oTF_s, oCTX_s])                     # [SP]
-                esc_s, etf_s, ecx_s, etg_s, sv_s_w = [], [], [], [], []
-                for k, c0, c1 in self.sp_ranges:
-                    seg = colb[c0:c1]
-                    mx, (tf_, cx_, tg_) = argmax_payload(
-                        seg, [coltf[c0:c1], colcx[c0:c1],
-                              jnp.arange(c0, c1, dtype=jnp.int32)])
-                    esc_s.append(mx[None])
-                    etf_s.append(tf_[None])
-                    ecx_s.append(cx_[None])
-                    etg_s.append(tg_[None] + n_multi)
-                    sv_s_w.append(jnp.max(out_s[:, c0:c1], axis=1,
-                                          keepdims=True))
-                esc_s = jnp.concatenate(esc_s)
-                etf_s = jnp.concatenate(etf_s)
-                ecx_s = jnp.concatenate(ecx_s)
-                etg_s = jnp.concatenate(etg_s)
-                sv_s = jnp.concatenate(sv_s_w, axis=1)      # [n_rc, W_sp]
-            else:
-                sp_new = None
-                sv_s = jnp.zeros((n_rc, 0))
-                esc_s = jnp.zeros((0,))
-                etf_s = ecx_s = jnp.zeros((0,), jnp.int32)
-                etg_s = jnp.zeros((0,), jnp.int32)
-            # ---------- CI chains ----------
-            esc_c, etf_c, ecx_c = [], [], []
-            for bi, ch in enumerate(self.ci_chains):
-                e = carry["ci"][bi]
-                pre = seg_of(g, si_ci[bi])
-                sen = tuple(-pre[j] for j in range(NST))
-                newS, (nTF, nCTX), out, _, (oTF, oCTX) = hmm_step_sm(
-                    e["S"], sen, ci_tp[bi], metas=(e["TF"], e["CTX"]))
-                fm = ci_fm[bi]
-                sh = jnp.concatenate(
-                    [jnp.full((1, ch.Wb), NEG_INF), out[:-1]]) + pip
-                sh = jnp.where(fm, NEG_INF, sh)
-                shTF = jnp.concatenate([oTF[:1], oTF[:-1]])
-                shCTX = jnp.concatenate([oCTX[:1], oCTX[:-1]])
-                win = sh > newS[0]
-                newc["ci"].append(dict(
-                    S=(jnp.where(win, sh, newS[0]),) + newS[1:],
-                    TF=(jnp.where(win, shTF, nTF[0]),) + nTF[1:],
-                    CTX=(jnp.where(win, shCTX, nCTX[0]),) + nCTX[1:]))
-                esc_c.append(out[-1])
-                etf_c.append(oTF[-1])
-                ecx_c.append(oCTX[-1])
-            esc_c = (jnp.concatenate(esc_c) if esc_c
-                     else jnp.zeros((0,)))
-            etf_c = (jnp.concatenate(etf_c) if etf_c
-                     else jnp.zeros((0,), jnp.int32))
-            ecx_c = (jnp.concatenate(ecx_c) if ecx_c
-                     else jnp.zeros((0,), jnp.int32))
+        def make_step(tables):
+            rows_tab = tables.get("rows")
+            bg_tab = tables.get("bg")
+            ctx_next = tables["ctx_next"]
 
-            # ---------- word transitions ----------
-            escore = jnp.concatenate([esc_m, esc_s, esc_c])      # [W]
-            etf_w = jnp.concatenate([etf_m, etf_s, etf_c])
-            ecx_w = jnp.concatenate([ecx_m, ecx_s, ecx_c])
-            etgt_w = jnp.asarray(self.etgt0.astype(np.int32))
-            if SP:
-                etgt_w = jnp.concatenate([
-                    etgt_w[:n_multi], etg_s, etgt_w[n_multi + self.n_single:]])
-            sv = jnp.concatenate([sv_m, sv_s,
-                                  jnp.tile(esc_c[None], (n_rc, 1))], axis=1)
-            kv, ki = jax.lax.top_k(escore, K)
-            onek = (ki[:, None] == jnp.arange(W)[None, :]).astype(jnp.float32)
-            # per-K payloads via exact f32 matmul (values < 2^24)
-            HI = jax.lax.Precision.HIGHEST
-            pay = jnp.stack([ecx_w.astype(jnp.float32),
-                             jnp.asarray(self.fb_ci.astype(np.float32))],
-                            axis=1)                              # [W, 2]
-            payk = jnp.einsum("kw,wp->kp", onek, pay, precision=HI)
-            ctx_k = payk[:, 0].astype(jnp.int32)
-            fb_k = payk[:, 1].astype(jnp.int32)
-            rw1_k = ctx2h1[ctx_k]                                # [K] gather
-            rw2_k = ctx2h2[ctx_k]
-            svk = jnp.einsum("kw,rw->kr", onek, sv,
-                             precision=HI)                       # [K, n_rc]
-            exg = jnp.einsum("kr,er->ke", svk, f0_onehot,
-                             precision=HI)                       # [K, E]
-            lmrow = jax.vmap(lambda i: jax.lax.dynamic_slice_in_dim(
-                rows_tab, i, 1, 0)[0])(ctx_k)                    # [K, E]
-            ctxrow = jax.vmap(lambda i: jax.lax.dynamic_slice_in_dim(
-                ctx_next, i, 1, 0)[0])(jnp.maximum(rw1_k, 0))    # [K, E]
-            fb_oh = (fb_k[:, None] ==
-                     jnp.arange(n_ciph)[None, :]).astype(jnp.float32)
-            accm = jnp.einsum("kc,ec->ke", fb_oh, accept_E,
-                              precision=HI)
-            cand = exg + jnp.where(isfill_E[None, :],
-                                   fillpen_E[None, :],
-                                   lmrow + wpen) \
-                + (accm - 1.0) * jnp.float32(1e30) \
-                + jnp.where(kv[:, None] > NEG_INF / 2, 0.0,
-                            jnp.float32(NEG_INF))
-            entry, (prw_e, ctxsel, srcctx, srcrw1, srcrw2, fb_e) = \
-                argmax_payload(
-                    cand, [ki[:, None].astype(jnp.float32),
-                           ctxrow,
-                           ctx_k[:, None].astype(jnp.float32),
-                           rw1_k[:, None].astype(jnp.float32),
-                           rw2_k[:, None].astype(jnp.float32),
-                           fb_k[:, None].astype(jnp.float32)])
-            ctx_new = jnp.where(isfill_E, srcctx, ctxsel).astype(jnp.int32)
-            erw1 = jnp.where(isreal_E, lmwid_E, srcrw1).astype(jnp.int32)
-            # filler tokens inherit the source's full history; real words
-            # shift it (h2' = h1_src).  h2 here is the LM-context h2
-            # (identical to the true one whenever the (h2, h1) bigram
-            # exists; LM-equivalent either way)
-            erw2 = jnp.where(isreal_E, srcrw1, srcrw2).astype(jnp.int32)
-            # new left-context class (per multi word) from the winning
-            # source's final base phone: one-hot sum over CI phones
-            if n_multi:
-                fbm = fb_e[:n_multi].astype(jnp.int32)
-                lccT = jnp.asarray(self.lc_cls.T)        # [n_ciph, Wm]
-                oh = jax.lax.broadcasted_iota(
-                    jnp.int32, (n_ciph, n_multi), 0) == fbm[None, :]
-                var_new = jnp.sum(jnp.where(oh, lccT, 0), axis=0)
-            else:
-                var_new = jnp.zeros(0, jnp.int32)
-            tf_new = (t + 1).astype(jnp.int32)
+            def step(carry, xs):
+                g, t, valid = xs            # g: [N_flat] gathered senone costs
+                newc = {"ch": [], "ci": []}
+                outs_last = []              # chain last-depth outs (multi)
+                ch_exits = []               # per-bucket saved arrays
+                # ---------- chain buckets (multi first+interior) ----------
+                for bi, ch in enumerate(self.chains):
+                    e = carry["ch"][bi]
+                    pre = seg_of(g, si_ch[bi])           # [3, D, Wb] costs
+                    prev = seg_of(g, si_fv[bi])          # [3, RF, Wb]
+                    fm = ch_fm[bi]                       # [D, Wb]
+                    nv = jnp.asarray(ch.n_var)
+                    sen = []
+                    for j in range(NST):
+                        sf = first_select(-prev[j], e["VAR"][j], nv)
+                        s = -pre[j]
+                        s = jnp.where(fm, sf[None, :], s)
+                        sen.append(s)
+                    metas = (e["TF"], e["CTX"],
+                             tuple(jnp.broadcast_to(v[None, :], (ch.D, ch.Wb))
+                                   for v in e["VAR"]))
+                    newS, (nTF, nCTX, nVARd), out, _, (oTF, oCTX, _) = \
+                        hmm_step_sm(e["S"], tuple(sen), ch_tp[bi], metas=metas)
+                    # intra-word shift: node d's state0 entry from node d-1
+                    sh = jnp.concatenate(
+                        [jnp.full((1, ch.Wb), NEG_INF), out[:-1]]) + pip
+                    sh = jnp.where(fm, NEG_INF, sh)   # first node: word entry only
+                    shTF = jnp.concatenate([oTF[:1], oTF[:-1]])
+                    shCTX = jnp.concatenate([oCTX[:1], oCTX[:-1]])
+                    win = sh > newS[0]
+                    s0 = jnp.where(win, sh, newS[0])
+                    tf0 = jnp.where(win, shTF, nTF[0])
+                    cx0 = jnp.where(win, shCTX, nCTX[0])
+                    newc["ch"].append(dict(
+                        S=(s0,) + newS[1:], TF=(tf0,) + nTF[1:],
+                        CTX=(cx0,) + nCTX[1:],
+                        VAR=tuple(jnp.sum(jnp.where(fm, v, 0), axis=0)
+                                  for v in nVARd)))
+                    outs_last.append(out[-1])
+                    ch_exits.append((out, oTF, oCTX))
+                # ---------- finals fan ----------
+                if n_multi:
+                    e = carry["fin"]
+                    pre = seg_of(g, si_fin)              # [3, n_rc, Wm]
+                    sen = tuple(-pre[j] for j in range(NST))
+                    newS, (nTF, nCTX), out_f, _, (oTF_f, oCTX_f) = hmm_step_sm(
+                        e["S"], sen, tp_fin, metas=(e["TF"], e["CTX"]))
+                    # entry from chain last depth
+                    pred = jnp.concatenate(outs_last) + pip        # [Wm]
+                    predTF = jnp.concatenate([x[1][-1] for x in ch_exits])
+                    predCTX = jnp.concatenate([x[2][-1] for x in ch_exits])
+                    win = pred[None, :] > newS[0]
+                    finS0 = jnp.where(win, pred[None, :], newS[0])
+                    finTF0 = jnp.where(win, predTF[None, :], nTF[0])
+                    finCTX0 = jnp.where(win, predCTX[None, :], nCTX[0])
+                    fin_new = dict(S=(finS0,) + newS[1:],
+                                   TF=(finTF0,) + nTF[1:],
+                                   CTX=(finCTX0,) + nCTX[1:])
+                    sv_m = out_f                                    # [n_rc, Wm]
+                    esc_m, (etf_m, ecx_m) = argmax_payload(
+                        out_f, [oTF_f, oCTX_f])
+                else:
+                    fin_new, sv_m = None, jnp.zeros((n_rc, 0))
+                    esc_m = jnp.zeros((0,))
+                    etf_m = ecx_m = jnp.zeros((0,), jnp.int32)
+                # ---------- single-phone columns ----------
+                if SP:
+                    e = carry["sp"]
+                    pre = seg_of(g, si_sp)
+                    sen = tuple(-pre[j] for j in range(NST))
+                    newS, (nTF, nCTX), out_s, _, (oTF_s, oCTX_s) = hmm_step_sm(
+                        e["S"], sen, tp_sp, metas=(e["TF"], e["CTX"]))
+                    sp_new = dict(S=newS, TF=nTF, CTX=nCTX)
+                    colb, (coltf, colcx) = argmax_payload(
+                        out_s, [oTF_s, oCTX_s])                     # [SP]
+                    esc_s, etf_s, ecx_s, etg_s, sv_s_w = [], [], [], [], []
+                    for k, c0, c1 in self.sp_ranges:
+                        seg = colb[c0:c1]
+                        mx, (tf_, cx_, tg_) = argmax_payload(
+                            seg, [coltf[c0:c1], colcx[c0:c1],
+                                  jnp.arange(c0, c1, dtype=jnp.int32)])
+                        esc_s.append(mx[None])
+                        etf_s.append(tf_[None])
+                        ecx_s.append(cx_[None])
+                        etg_s.append(tg_[None] + n_multi)
+                        sv_s_w.append(jnp.max(out_s[:, c0:c1], axis=1,
+                                              keepdims=True))
+                    esc_s = jnp.concatenate(esc_s)
+                    etf_s = jnp.concatenate(etf_s)
+                    ecx_s = jnp.concatenate(ecx_s)
+                    etg_s = jnp.concatenate(etg_s)
+                    sv_s = jnp.concatenate(sv_s_w, axis=1)      # [n_rc, W_sp]
+                else:
+                    sp_new = None
+                    sv_s = jnp.zeros((n_rc, 0))
+                    esc_s = jnp.zeros((0,))
+                    etf_s = ecx_s = jnp.zeros((0,), jnp.int32)
+                    etg_s = jnp.zeros((0,), jnp.int32)
+                # ---------- CI chains ----------
+                esc_c, etf_c, ecx_c = [], [], []
+                for bi, ch in enumerate(self.ci_chains):
+                    e = carry["ci"][bi]
+                    pre = seg_of(g, si_ci[bi])
+                    sen = tuple(-pre[j] for j in range(NST))
+                    newS, (nTF, nCTX), out, _, (oTF, oCTX) = hmm_step_sm(
+                        e["S"], sen, ci_tp[bi], metas=(e["TF"], e["CTX"]))
+                    fm = ci_fm[bi]
+                    sh = jnp.concatenate(
+                        [jnp.full((1, ch.Wb), NEG_INF), out[:-1]]) + pip
+                    sh = jnp.where(fm, NEG_INF, sh)
+                    shTF = jnp.concatenate([oTF[:1], oTF[:-1]])
+                    shCTX = jnp.concatenate([oCTX[:1], oCTX[:-1]])
+                    win = sh > newS[0]
+                    newc["ci"].append(dict(
+                        S=(jnp.where(win, sh, newS[0]),) + newS[1:],
+                        TF=(jnp.where(win, shTF, nTF[0]),) + nTF[1:],
+                        CTX=(jnp.where(win, shCTX, nCTX[0]),) + nCTX[1:]))
+                    esc_c.append(out[-1])
+                    etf_c.append(oTF[-1])
+                    ecx_c.append(oCTX[-1])
+                esc_c = (jnp.concatenate(esc_c) if esc_c
+                         else jnp.zeros((0,)))
+                etf_c = (jnp.concatenate(etf_c) if etf_c
+                         else jnp.zeros((0,), jnp.int32))
+                ecx_c = (jnp.concatenate(ecx_c) if ecx_c
+                         else jnp.zeros((0,), jnp.int32))
 
-            # ---------- apply entries ----------
-            off = 0
-            for bi, ch in enumerate(self.chains):
-                e = newc["ch"][bi]
-                ent = entry[off:off + ch.Wb]
-                fm = ch_fm[bi]
-                cand0 = jnp.where(fm, ent[None, :], NEG_INF)
-                win = cand0 > e["S"][0]
-                e["S"] = (jnp.where(win, cand0, e["S"][0]),) + e["S"][1:]
-                e["TF"] = (jnp.where(win, tf_new, e["TF"][0]),) + e["TF"][1:]
-                e["CTX"] = (jnp.where(
-                    win, ctx_new[None, off:off + ch.Wb] *
-                    jnp.ones((ch.D, 1), jnp.int32), e["CTX"][0]),) \
-                    + e["CTX"][1:]
-                winv = jnp.sum(jnp.where(win & fm, 1, 0), axis=0) > 0
-                e["VAR"] = (jnp.where(winv, var_new[off:off + ch.Wb],
-                                      e["VAR"][0]),) + e["VAR"][1:]
-                off += ch.Wb
-            if SP:
-                ent = entry[n_multi:n_multi + SP]
-                e = sp_new
-                win = ent[None, :] > e["S"][0]
-                e["S"] = (jnp.where(win, ent[None, :], e["S"][0]),) \
-                    + e["S"][1:]
-                e["TF"] = (jnp.where(win, tf_new, e["TF"][0]),) + e["TF"][1:]
-                e["CTX"] = (jnp.where(
-                    win, ctx_new[None, n_multi:n_multi + SP] *
-                    jnp.ones((n_rc, 1), jnp.int32), e["CTX"][0]),) \
-                    + e["CTX"][1:]
-            off = n_multi + SP
-            for bi, ch in enumerate(self.ci_chains):
-                e = newc["ci"][bi]
-                ent = entry[off:off + ch.Wb]
-                fm = ci_fm[bi]
-                cand0 = jnp.where(fm, ent[None, :], NEG_INF)
-                win = cand0 > e["S"][0]
-                e["S"] = (jnp.where(win, cand0, e["S"][0]),) + e["S"][1:]
-                e["TF"] = (jnp.where(win, tf_new, e["TF"][0]),) + e["TF"][1:]
-                e["CTX"] = (jnp.where(
-                    win, ctx_new[None, off:off + ch.Wb] *
-                    jnp.ones((ch.D, 1), jnp.int32), e["CTX"][0]),) \
-                    + e["CTX"][1:]
-                off += ch.Wb
-            if fin_new is not None:
-                newc["fin"] = fin_new
-            else:
-                newc["fin"] = None
-            newc["sp"] = sp_new
+                # ---------- word transitions ----------
+                escore = jnp.concatenate([esc_m, esc_s, esc_c])      # [W]
+                etf_w = jnp.concatenate([etf_m, etf_s, etf_c])
+                ecx_w = jnp.concatenate([ecx_m, ecx_s, ecx_c])
+                etgt_w = jnp.asarray(self.etgt0.astype(np.int32))
+                if SP:
+                    etgt_w = jnp.concatenate([
+                        etgt_w[:n_multi], etg_s, etgt_w[n_multi + self.n_single:]])
+                sv = jnp.concatenate([sv_m, sv_s,
+                                      jnp.tile(esc_c[None], (n_rc, 1))], axis=1)
+                kv, ki = jax.lax.top_k(escore, K)
+                onek = (ki[:, None] == jnp.arange(W)[None, :]).astype(jnp.float32)
+                # per-K payloads via exact f32 matmul (values < 2^24)
+                HI = jax.lax.Precision.HIGHEST
+                pay = jnp.stack([ecx_w.astype(jnp.float32),
+                                 jnp.asarray(self.fb_ci.astype(np.float32))],
+                                axis=1)                              # [W, 2]
+                payk = jnp.einsum("kw,wp->kp", onek, pay, precision=HI)
+                ctx_k = payk[:, 0].astype(jnp.int32)
+                fb_k = payk[:, 1].astype(jnp.int32)
+                rw1_k = ctx2h1[ctx_k]                                # [K] gather
+                rw2_k = ctx2h2[ctx_k]
+                svk = jnp.einsum("kw,rw->kr", onek, sv,
+                                 precision=HI)                       # [K, n_rc]
+                exg = jnp.einsum("kr,er->ke", svk, f0_onehot,
+                                 precision=HI)                       # [K, E]
+                if mode_rows:
+                    lmrow = jax.vmap(lambda i: jax.lax.dynamic_slice_in_dim(
+                        rows_tab, i, 1, 0)[0])(ctx_k)                # [K, E]
+                else:
+                    # mode B: bigram row of the context's newest word (+
+                    # trigram backoff), then sparse per-context overrides
+                    h1c = jnp.minimum(rw1_k, self.V)
+                    base = jax.vmap(lambda i: jax.lax.dynamic_slice_in_dim(
+                        bg_tab, i, 1, 0)[0])(h1c)                    # [K, E]
+                    is_tri = ctx_k > self.V
+                    b = jnp.clip(ctx_k - 1 - self.V, 0, max(N_BG - 1, 0))
+                    lmrow = base + jnp.where(is_tri, bo2w_j[b],
+                                             0.0)[:, None]
+                    if S_TRI:
+                        start = tgcn_j[b]
+                        cnt = tgcn_j[b + 1] - start
+                        wc = jax.vmap(lambda s: jax.lax.dynamic_slice_in_dim(
+                            tgc_j, s, S_TRI))(start)                 # [K, S]
+                        wv = jax.vmap(lambda s: jax.lax.dynamic_slice_in_dim(
+                            tgv_j, s, S_TRI))(start)
+                        pos = jax.lax.broadcasted_iota(
+                            jnp.int32, (K, S_TRI), 1)
+                        ok = (pos < cnt[:, None]) & is_tri[:, None]
+                        idx = jnp.where(ok, wc, nE)
+                        lmp = jnp.concatenate(
+                            [lmrow, jnp.zeros((K, 1), jnp.float32)], axis=1)
+                        lmrow = lmp.at[
+                            jnp.arange(K)[:, None], idx].set(
+                            jnp.where(ok, wv, 0.0), mode="drop")[:, :nE]
+                ctxrow = jax.vmap(lambda i: jax.lax.dynamic_slice_in_dim(
+                    ctx_next, i, 1, 0)[0])(jnp.maximum(rw1_k, 0))    # [K, E]
+                fb_oh = (fb_k[:, None] ==
+                         jnp.arange(n_ciph)[None, :]).astype(jnp.float32)
+                accm = jnp.einsum("kc,ec->ke", fb_oh, accept_E,
+                                  precision=HI)
+                cand = exg + jnp.where(isfill_E[None, :],
+                                       fillpen_E[None, :],
+                                       lmrow + wpen) \
+                    + (accm - 1.0) * jnp.float32(1e30) \
+                    + jnp.where(kv[:, None] > NEG_INF / 2, 0.0,
+                                jnp.float32(NEG_INF))
+                entry, (prw_e, ctxsel, srcctx, srcrw1, srcrw2, fb_e) = \
+                    argmax_payload(
+                        cand, [ki[:, None].astype(jnp.float32),
+                               ctxrow,
+                               ctx_k[:, None].astype(jnp.float32),
+                               rw1_k[:, None].astype(jnp.float32),
+                               rw2_k[:, None].astype(jnp.float32),
+                               fb_k[:, None].astype(jnp.float32)])
+                ctx_new = jnp.where(isfill_E, srcctx, ctxsel).astype(jnp.int32)
+                erw1 = jnp.where(isreal_E, lmwid_E, srcrw1).astype(jnp.int32)
+                # filler tokens inherit the source's full history; real words
+                # shift it (h2' = h1_src).  h2 here is the LM-context h2
+                # (identical to the true one whenever the (h2, h1) bigram
+                # exists; LM-equivalent either way)
+                erw2 = jnp.where(isreal_E, srcrw1, srcrw2).astype(jnp.int32)
+                # new left-context class (per multi word) from the winning
+                # source's final base phone: one-hot sum over CI phones
+                if n_multi:
+                    fbm = fb_e[:n_multi].astype(jnp.int32)
+                    lccT = jnp.asarray(self.lc_cls.T)        # [n_ciph, Wm]
+                    oh = jax.lax.broadcasted_iota(
+                        jnp.int32, (n_ciph, n_multi), 0) == fbm[None, :]
+                    var_new = jnp.sum(jnp.where(oh, lccT, 0), axis=0)
+                else:
+                    var_new = jnp.zeros(0, jnp.int32)
+                tf_new = (t + 1).astype(jnp.int32)
 
-            # ---------- renormalize ----------
-            def all_s(c):
-                xs_ = []
-                for e in c["ch"] + c["ci"]:
-                    xs_ += [jnp.max(s) for s in e["S"]]
-                if c["fin"] is not None:
-                    xs_ += [jnp.max(s) for s in c["fin"]["S"]]
-                if c["sp"] is not None:
-                    xs_ += [jnp.max(s) for s in c["sp"]["S"]]
-                return jnp.max(jnp.stack(xs_))
+                # ---------- apply entries ----------
+                off = 0
+                for bi, ch in enumerate(self.chains):
+                    e = newc["ch"][bi]
+                    ent = entry[off:off + ch.Wb]
+                    fm = ch_fm[bi]
+                    cand0 = jnp.where(fm, ent[None, :], NEG_INF)
+                    win = cand0 > e["S"][0]
+                    e["S"] = (jnp.where(win, cand0, e["S"][0]),) + e["S"][1:]
+                    e["TF"] = (jnp.where(win, tf_new, e["TF"][0]),) + e["TF"][1:]
+                    e["CTX"] = (jnp.where(
+                        win, ctx_new[None, off:off + ch.Wb] *
+                        jnp.ones((ch.D, 1), jnp.int32), e["CTX"][0]),) \
+                        + e["CTX"][1:]
+                    winv = jnp.sum(jnp.where(win & fm, 1, 0), axis=0) > 0
+                    e["VAR"] = (jnp.where(winv, var_new[off:off + ch.Wb],
+                                          e["VAR"][0]),) + e["VAR"][1:]
+                    off += ch.Wb
+                if SP:
+                    ent = entry[n_multi:n_multi + SP]
+                    e = sp_new
+                    win = ent[None, :] > e["S"][0]
+                    e["S"] = (jnp.where(win, ent[None, :], e["S"][0]),) \
+                        + e["S"][1:]
+                    e["TF"] = (jnp.where(win, tf_new, e["TF"][0]),) + e["TF"][1:]
+                    e["CTX"] = (jnp.where(
+                        win, ctx_new[None, n_multi:n_multi + SP] *
+                        jnp.ones((n_rc, 1), jnp.int32), e["CTX"][0]),) \
+                        + e["CTX"][1:]
+                off = n_multi + SP
+                for bi, ch in enumerate(self.ci_chains):
+                    e = newc["ci"][bi]
+                    ent = entry[off:off + ch.Wb]
+                    fm = ci_fm[bi]
+                    cand0 = jnp.where(fm, ent[None, :], NEG_INF)
+                    win = cand0 > e["S"][0]
+                    e["S"] = (jnp.where(win, cand0, e["S"][0]),) + e["S"][1:]
+                    e["TF"] = (jnp.where(win, tf_new, e["TF"][0]),) + e["TF"][1:]
+                    e["CTX"] = (jnp.where(
+                        win, ctx_new[None, off:off + ch.Wb] *
+                        jnp.ones((ch.D, 1), jnp.int32), e["CTX"][0]),) \
+                        + e["CTX"][1:]
+                    off += ch.Wb
+                if fin_new is not None:
+                    newc["fin"] = fin_new
+                else:
+                    newc["fin"] = None
+                newc["sp"] = sp_new
 
-            m = jnp.maximum(all_s(newc), jnp.float32(NEG_INF))
+                # ---------- renormalize ----------
+                def all_s(c):
+                    xs_ = []
+                    for e in c["ch"] + c["ci"]:
+                        xs_ += [jnp.max(s) for s in e["S"]]
+                    if c["fin"] is not None:
+                        xs_ += [jnp.max(s) for s in c["fin"]["S"]]
+                    if c["sp"] is not None:
+                        xs_ += [jnp.max(s) for s in c["sp"]["S"]]
+                    return jnp.max(jnp.stack(xs_))
 
-            def renorm(c):
-                for e in c["ch"] + c["ci"] + (
-                        [c["fin"]] if c["fin"] is not None else []) + (
-                        [c["sp"]] if c["sp"] is not None else []):
-                    e["S"] = tuple(s - m for s in e["S"])
-                return c
+                m = jnp.maximum(all_s(newc), jnp.float32(NEG_INF))
 
-            newc = renorm(newc)
-            newc = jax.tree.map(
-                lambda new, old: jnp.where(valid, new, old), newc, carry)
-            rec = (escore, etf_w, etgt_w, ecx_w,
-                   entry, prw_e.astype(jnp.int32), erw1, erw2, m)
-            return newc, rec
+                def renorm(c):
+                    for e in c["ch"] + c["ci"] + (
+                            [c["fin"]] if c["fin"] is not None else []) + (
+                            [c["sp"]] if c["sp"] is not None else []):
+                        e["S"] = tuple(s - m for s in e["S"])
+                    return c
+
+                newc = renorm(newc)
+                newc = jax.tree.map(
+                    lambda new, old: jnp.where(valid, new, old), newc, carry)
+                rec = (escore, etf_w, etgt_w, ecx_w,
+                       entry, prw_e.astype(jnp.int32), erw1, erw2, m)
+                return newc, rec
+
+            return step
 
         CHp = CH
         senid_all_len = len(senid_all)
 
-        def scan_fn(costs, valid, carry=None, t0=0):
+        def scan_fn(costs, valid, carry, t0, tables):
+            step = make_step(tables)
             T = costs.shape[0]
             Tp = -(-T // CHp) * CHp
             costs = jnp.pad(costs, ((0, Tp - T), (0, 0)))
@@ -811,11 +890,21 @@ class NgramFusedDecoder:
             return recs, carry_out
 
         jitted = jax.jit(scan_fn)
+        self._dev_tables = None
+
+        def dev_tabs():
+            if self._dev_tables is None:
+                self._dev_tables = {k: jnp.asarray(v)
+                                    for k, v in dev_tables.items()}
+            return self._dev_tables
 
         def run(costs, valid):
-            return jitted(costs, valid)[0]
+            return jitted(costs, valid, None, 0, dev_tabs())[0]
 
-        run.with_carry = jitted
+        def with_carry(costs, valid, carry=None, t0=0):
+            return jitted(costs, valid, carry, t0, dev_tabs())
+
+        run.with_carry = with_carry
         self._scan_fn = run
         return self._scan_fn
 

@@ -457,11 +457,14 @@ def _host_fused_viterbi(dec, costs):
     return r_escore, r_etf, r_eprw
 
 
-def test_fused_exact_vs_host_trie_viterbi(am):
+@pytest.mark.parametrize("lm_mode", ["rows", "sparse"])
+def test_fused_exact_vs_host_trie_viterbi(am, lm_mode):
     """Fused device scan == independent float64 host Viterbi with direct
     trie-walk LM scoring, on a 74-word dictionary under a 1.7k-word
     trigram LM (VERDICT r2: 'spot-verified against host trie-walk
-    Viterbi')."""
+    Viterbi').  Runs under both LM providers: the dense context-row
+    table ("rows") and the scalable dense-bigram + sparse-trigram-
+    override path ("sparse", forced via a tiny table budget)."""
     import io
     import os
     import random
@@ -504,6 +507,9 @@ def test_fused_exact_vs_host_trie_viterbi(am):
     # exactness proof must not depend on it (a synthetic random LM makes
     # LM terms dominate exit scores, so aggressive K can change paths)
     dec = NgramFusedDecoder(am, Dict2Pid(am.mdef, d), lm, topk=10 ** 6)
+    if lm_mode == "sparse":
+        dec.LM_TABLE_BUDGET = 1    # force mode B
+
 
     fe = MelFrontend(nfilt=25, lowerf=130, upperf=6800, transform="dct",
                      lifter_val=22, remove_noise=True)
@@ -516,6 +522,7 @@ def test_fused_exact_vs_host_trie_viterbi(am):
 
     hyp, segs = dec.decode(feats, costs=costs.astype(np.float32))
     assert dec.lm_order_used == 3
+    assert dec.lm_mode == lm_mode
     h_escore, h_etf, h_eprw = _host_fused_viterbi(dec, costs)
     d_escore, d_etf, d_eprw = [np.asarray(r) for r in dec.records[:3]]
     live = (d_escore > -1e29) & (h_escore > -1e29)
