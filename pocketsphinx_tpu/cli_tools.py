@@ -18,17 +18,19 @@ def lm_convert_main(argv=None):
     ofmt = opts.get("-ofmt", "arpa")
     if not inp or not out:
         sys.stderr.write("Usage: pocketsphinx-tpu-lm-convert -i IN -o OUT "
-                         "[-ofmt arpa]\n")
+                         "[-ofmt arpa|bin|dmp]\n")
         return 1
-    from .lm.ngram import read_lm, write_arpa, write_trie_bin
+    from .lm.ngram import read_lm, write_arpa, write_trie_bin, write_dmp
     m = read_lm(inp)
     if ofmt in ("arpa", "txt"):
         write_arpa(m, out)
     elif ofmt in ("bin", "trie"):
         write_trie_bin(m, out)
+    elif ofmt == "dmp":
+        write_dmp(m, out)
     else:
         sys.stderr.write(f"Output format {ofmt!r} not supported "
-                         "(arpa | bin)\n")
+                         "(arpa | bin | dmp)\n")
         return 1
     return 0
 

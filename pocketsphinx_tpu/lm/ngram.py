@@ -708,6 +708,116 @@ def write_trie_bin(model: NgramModel, path: str):
         f.write(out)
 
 
+def write_dmp(model: NgramModel, path: str):
+    """Legacy Sphinx DMP ("Darpa Trigram LM") binary *writer* — the
+    inverse of read_dmp, producing files the reference binary reads
+    (ngram_model_trie_read_dmp, src/lm/ngram_model_trie.c:489-690 +
+    ngrams_raw_read_dmp, src/lm/ngrams_raw.c:236-360).
+
+    Divergence note: the reference's own lm_convert advertises
+    `-ofmt dmp` (programs/pocketsphinx_lm_convert.c:102-103) but its
+    ngram_model_write supports only ARPA/BIN
+    (src/lm/ngram_model.c:185-206) — DMP *write* is dead code there.
+    This writer restores the full three-way conversion; correctness is
+    checked by round-trip through read_dmp and by score parity.
+
+    Format limits (inherent to DMP): trigram max order, 16-bit word ids
+    (vocab < 65536), 16-bit quantized prob/backoff tables (values beyond
+    2^16 distinct are quantile-binned), 512-entry trigram segment bases
+    with 16-bit relative offsets."""
+    order = model.order
+    if order > 3:
+        raise ValueError("DMP format supports at most trigram models")
+    counts = [len(model.lv_words[l]) for l in range(order)]
+    V = counts[0]
+    if V >= (1 << 16):
+        raise ValueError("DMP format limits vocabulary to 65535 words")
+    bcount = counts[1] if order > 1 else 0
+    tcount = counts[2] if order > 2 else 0
+    inv = np.float32(1.0 / LOG10_TO_LOG)
+
+    def quant_table(vals32):
+        """Unique-value table + u16 index per entry (quantile-binned to
+        nearest when > 2^16 distinct, like lm_trie_quant training)."""
+        u = np.unique(vals32)
+        if len(u) > (1 << 16):
+            q = np.unique(np.quantile(
+                u, np.linspace(0, 1, 1 << 16)).astype(np.float32))
+            u = q
+        idx = np.searchsorted(u, vals32)
+        idx = np.clip(idx, 0, len(u) - 1)
+        # snap to nearest of the two neighbors
+        lo = np.clip(idx - 1, 0, len(u) - 1)
+        idx = np.where(np.abs(u[lo] - vals32) < np.abs(u[idx] - vals32),
+                       lo, idx)
+        return u.astype(np.float32), idx.astype(np.uint16)
+
+    out = bytearray()
+    hdr = b"Darpa Trigram LM\0"
+    out += np.array([len(hdr)], "<u4").tobytes() + hdr
+    name = (path.rsplit("/", 1)[-1]).encode() + b"\0"
+    out += np.array([len(name)], "<i4").tobytes() + name
+    # version block: version <= 0 => timestamp + format strings until 0
+    out += np.array([-7, 0, 0], "<i4").tobytes()   # version, ts, end-of-fmt
+    out += np.array([V, bcount, tcount], "<i4").tobytes()
+
+    p1 = (model.lv_prob[0].astype(np.float32) * inv)
+    b1 = (model.lv_bo[0].astype(np.float32) * inv)
+    unext = (model.lv_next[0].astype(np.int64) if order > 1
+             else np.zeros(V + 1, np.int64))
+    uni = np.zeros(V + 1, np.dtype([("mapid", "<i4"), ("prob", "<f4"),
+                                    ("bo", "<f4"), ("next", "<i4")]))
+    uni["mapid"][:V] = np.arange(V)
+    uni["mapid"][V] = -1
+    uni["prob"][:V] = p1
+    uni["bo"][:V] = b1
+    uni["next"] = unext
+    out += uni.tobytes()
+
+    if order > 1:
+        prob2_tab, p2i = quant_table(
+            model.lv_prob[1].astype(np.float32) * inv)
+        if order > 2:
+            bo2_tab, b2i = quant_table(
+                model.lv_bo[1].astype(np.float32) * inv)
+            prob3_tab, p3i = quant_table(
+                model.lv_prob[2].astype(np.float32) * inv)
+            tnext_abs = model.lv_next[1].astype(np.int64)   # [bcount+1]
+            tseg = tnext_abs[np.arange(0, bcount + 1, 1 << 9)]
+            next_rel = tnext_abs - tseg[np.arange(bcount + 1) >> 9]
+            if next_rel.max(initial=0) >= (1 << 16):
+                raise ValueError("DMP trigram segment overflow "
+                                 "(>65535 trigrams in a 512-bigram block)")
+        else:
+            b2i = np.zeros(bcount, np.uint16)
+            next_rel = np.zeros(bcount + 1, np.int64)
+        bg = np.zeros(bcount + 1, np.dtype([("wid", "<u2"), ("p", "<u2"),
+                                            ("b", "<u2"), ("next", "<u2")]))
+        bg["wid"][:bcount] = model.lv_words[1].astype(np.uint16)
+        bg["p"][:bcount] = p2i
+        bg["b"][:bcount] = b2i
+        bg["next"] = next_rel.astype(np.uint16)
+        out += bg.tobytes()
+        if order > 2:
+            tg = np.zeros(tcount, np.dtype([("wid", "<u2"), ("p", "<u2")]))
+            tg["wid"] = model.lv_words[2].astype(np.uint16)
+            tg["p"] = p3i
+            out += tg.tobytes()
+        out += np.array([len(prob2_tab)], "<i4").tobytes() \
+            + prob2_tab.tobytes()
+        if order > 2:
+            out += np.array([len(bo2_tab)], "<i4").tobytes() \
+                + bo2_tab.tobytes()
+            out += np.array([len(prob3_tab)], "<i4").tobytes() \
+                + prob3_tab.tobytes()
+            out += np.array([len(tseg)], "<i4").tobytes() \
+                + tseg.astype("<i4").tobytes()
+    words_blob = b"\0".join(w.encode("utf-8") for w in model.words) + b"\0"
+    out += np.array([len(words_blob)], "<i4").tobytes() + words_blob
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
 def read_dmp(path: str) -> NgramModel:
     """Legacy Sphinx DMP ("Darpa Trigram LM") binary reader
     (ngram_model_trie_read_dmp, src/lm/ngram_model_trie.c:489-690 +

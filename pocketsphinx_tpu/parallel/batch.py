@@ -9,15 +9,79 @@ that exceed one chip), and XLA inserts the collectives.  Within-utterance
 time stays a `lax.scan` (the sequence-parallel analog for a sequential
 Viterbi recurrence); corpus metrics reduce with `psum`-style means.
 
-Multi-host: initialize the JAX distributed runtime
-(`jax.distributed.initialize`) before building the mesh, shard the
-control file by `jax.process_index()`, and the same code runs across
-hosts — collectives ride ICI within a slice and DCN across slices.
+Multi-host: `init_distributed` starts the JAX distributed runtime
+(`jax.distributed.initialize`), `shard_ctl` splits the control file by
+process index (replacing the reference's operator-driven
+process-per-ctl-shard scaling, programs/pocketsphinx_batch.c), each
+process decodes its shard over its local mesh, and `global_metric_sum`
+reduces corpus metrics (utterance/frame/error counts) across processes
+with a replicated-sum collective — ICI within a slice, DCN across
+slices.  Exercised by tests/test_multihost.py with two real CPU
+processes.
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Start the JAX multi-process runtime.  On cloud TPU the arguments
+    auto-detect; for manual/CPU jobs pass coordinator ("host:port"),
+    process count, and this process's id.  Returns (process_index,
+    process_count) as seen by the CPU backend (which is present on
+    every host and used for cross-process metric reduction)."""
+    import jax
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return (jax.process_index(backend="cpu"),
+            jax.process_count(backend="cpu"))
+
+
+def shard_ctl(entries: list, process_id: int | None = None,
+              process_count: int | None = None) -> list:
+    """Shard a -ctl utterance list across processes (strided, so
+    length-sorted corpora balance).  Defaults to the live runtime's
+    process index/count."""
+    import jax
+    pid = jax.process_index(backend="cpu") if process_id is None \
+        else process_id
+    n = jax.process_count(backend="cpu") if process_count is None \
+        else process_count
+    return entries[pid::n]
+
+
+def global_metric_sum(local_vector) -> np.ndarray:
+    """Sum a per-process float metric vector across all processes.
+
+    Builds a one-device-per-process CPU mesh, assembles the global
+    [n_proc, dim] array from each process's addressable shard, and runs
+    a jitted sum with replicated output — a real cross-host collective
+    (gRPC/DCN on CPU, ICI/DCN on TPU slices).  Single-process: returns
+    the input unchanged."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    local = np.asarray(local_vector, np.float32).reshape(1, -1)
+    nproc = jax.process_count(backend="cpu")
+    if nproc == 1:
+        return local[0]
+    per_proc = {}
+    for d in jax.devices("cpu"):
+        per_proc.setdefault(d.process_index, d)
+    devs = [per_proc[i] for i in sorted(per_proc)]
+    mesh = Mesh(np.array(devs), ("proc",))
+    mine = per_proc[jax.process_index(backend="cpu")]
+    arr = jax.make_array_from_single_device_arrays(
+        (nproc, local.shape[1]), NamedSharding(mesh, P("proc", None)),
+        [jax.device_put(local, mine)])
+    tot = jax.jit(lambda x: jnp.sum(x, axis=0),
+                  out_shardings=NamedSharding(mesh, P()))(arr)
+    return np.asarray(tot.addressable_data(0))
 
 
 def make_mesh(n_data: int | None = None, n_model: int = 1):

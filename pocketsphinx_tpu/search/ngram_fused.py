@@ -890,12 +890,13 @@ class NgramFusedDecoder:
             return recs, carry_out
 
         jitted = jax.jit(scan_fn)
-        self._dev_tables = None
+        # Materialize the LM tables on device EAGERLY (_make_scan always
+        # runs outside jit): a lazy first-use cache would capture tracers
+        # when `run` is first called inside an outer jit trace (as the
+        # batch pipeline does) and leak them across retraces.
+        self._dev_tables = {k: jnp.asarray(v) for k, v in dev_tables.items()}
 
         def dev_tabs():
-            if self._dev_tables is None:
-                self._dev_tables = {k: jnp.asarray(v)
-                                    for k, v in dev_tables.items()}
             return self._dev_tables
 
         def run(costs, valid):

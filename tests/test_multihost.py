@@ -1,0 +1,98 @@
+"""Multi-host distributed decoding: two real OS processes run
+`jax.distributed.initialize` (CPU backend), shard a 4-utterance control
+list, decode their shards through BatchDecodePipeline over local
+2-device data meshes, and reduce corpus metrics with a cross-process
+collective — the TPU-native replacement for the reference's
+process-per-ctl-split scaling (programs/pocketsphinx_batch.c, SURVEY
+§2.3 collectives / §5.8)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import DATADIR, EN_US, require_model
+
+WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_ctl_shard(tmp_path):
+    require_model()
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    root = os.path.dirname(os.path.dirname(WORKER))
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    outs = [str(tmp_path / f"out{i}.json") for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(i), "2", str(port), outs[i]],
+        env=env, cwd=root,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost worker timed out")
+        logs.append(out)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-3000:]
+
+    results = [json.load(open(o)) for o in outs]
+    merged = {}
+    for r in results:
+        merged.update(r["hyps"])
+
+    # oracle: decode the same 4 utterances single-process
+    from pocketsphinx_tpu.models.acoustic import AcousticModel
+    from pocketsphinx_tpu.models.dict2pid import Dict2Pid
+    from pocketsphinx_tpu.fileio.dictionary import Dictionary
+    from pocketsphinx_tpu.lm.ngram import read_lm
+    from pocketsphinx_tpu.search.ngram_fused import NgramFusedDecoder
+    from pocketsphinx_tpu.frontend.mfcc import MelFrontend
+    from pocketsphinx_tpu.parallel.batch import BatchDecodePipeline
+    from jax.sharding import Mesh
+    import jax
+
+    am = AcousticModel.load(str(EN_US))
+    d = Dictionary(am.mdef, str(DATADIR / "turtle.dic"),
+                   str(EN_US / "noisedict"))
+    dec = NgramFusedDecoder(
+        am, Dict2Pid(am.mdef, d),
+        read_lm(str(DATADIR / "turtle.lm.bin"), lw=6.5, wip=0.65))
+    pcm = np.frombuffer((DATADIR / "goforward.raw").read_bytes(), "<i2")
+    corpus = [pcm, pcm[:40000], pcm[:32000], pcm[8000:]]
+    fe = MelFrontend(nfilt=25, lowerf=130, upperf=6800, transform="dct",
+                 lifter_val=22, remove_noise=True)  # en-us feat.params
+    mesh = Mesh(np.array(jax.devices("cpu")[:2]).reshape(2, 1),
+                ("data", "model"))
+    oracle = BatchDecodePipeline(dec, fe, mesh=mesh).decode_corpus(
+        [c.astype(np.float32) for c in corpus], batch_size=2)
+
+    # every utterance decoded exactly once, identically to single-process
+    assert sorted(merged) == [str(i) for i in range(4)]
+    for i in range(4):
+        assert merged[str(i)] == oracle[i][0], (i, merged[str(i)],
+                                                oracle[i][0])
+    assert merged["0"] == "go forward ten meters"
+
+    # the cross-process metric reduction saw the whole corpus, and both
+    # processes agree on the reduced totals
+    exp_frames = sum(fe.n_frames(len(c)) for c in corpus)
+    for r in results:
+        assert r["totals"] == [4.0, float(exp_frames)], r["totals"]

@@ -36,6 +36,34 @@ def test_dmp_reader_matches_trie():
     assert abs(d.raw_score(hh, [da]) - -831) < 5
 
 
+def test_dmp_write_roundtrip(tmp_path):
+    """lm_convert three-way conversion incl. DMP *write* (the reference
+    advertises -ofmt dmp, programs/pocketsphinx_lm_convert.c:102, but
+    its writer supports only ARPA/BIN, src/lm/ngram_model.c:185-206 —
+    we restore it).  Round trip: trie bin -> DMP -> scores equal."""
+    from pocketsphinx_tpu.lm.ngram import read_trie_bin, read_dmp, write_dmp
+    t = read_trie_bin(str(DATADIR / "turtle.lm.bin"))
+    out = tmp_path / "turtle.lm.dmp"
+    write_dmp(t, str(out))
+    r = read_dmp(str(out))
+    assert r.counts == t.counts
+    assert r.words == t.words
+    # score parity within f32-log10 quantization on every bigram +
+    # a trigram/backoff sample
+    go, fwd, ten = t.wid("go"), t.wid("forward"), t.wid("ten")
+    for w, hist in [(fwd, [go]), (ten, [go, fwd]), (go, [ten, fwd]),
+                    (go, []), (ten, [fwd])]:
+        assert abs(r.raw_score(w, hist) - t.raw_score(w, hist)) < 2.0, \
+            (w, hist)
+    # and through the CLI tool
+    from pocketsphinx_tpu.cli_tools import lm_convert_main
+    out2 = tmp_path / "cli.lm.dmp"
+    assert lm_convert_main(["-i", str(DATADIR / "turtle.lm.bin"),
+                            "-o", str(out2), "-ofmt", "dmp"]) == 0
+    r2 = read_dmp(str(out2))
+    assert r2.counts == t.counts
+
+
 def test_lmctl_class_lms():
     if not (LMDIR / "100.lmctl").exists():
         pytest.skip("lmctl fixture missing")
