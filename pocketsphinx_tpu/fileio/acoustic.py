@@ -142,9 +142,16 @@ class MixtureWeights:
         return self.mixw.shape[1]
 
 
-def read_sendump(path: str, n_sen_mdef: int, n_feat: int, n_density: int) -> MixtureWeights:
+def read_sendump(path: str, n_sen_mdef: int, n_feat: int, n_density: int,
+                 nibble_mode: str = "byte") -> MixtureWeights:
     """Parse the "sendump" pre-quantized mixture-weight file
-    (src/ptm_mgau.c:455-660).  Handles the optional 4-bit cluster coding."""
+    (src/ptm_mgau.c:455-660).  Handles the optional 4-bit cluster coding.
+
+    nibble_mode selects which scorer's 4-bit unpacking to reproduce:
+    "byte" = the PTM scorer's quirk (nibble chosen by the *byte*'s low
+    bit, src/ptm_mgau.c:376-378); "senone" = the semi-continuous
+    scorer's senone-parity select (src/s2_semi_mgau.c:694-699, the
+    classic layout: even senone -> low nibble, odd -> high)."""
     with open(path, "rb") as f:
         data = f.read()
     pos = 0
@@ -218,12 +225,18 @@ def read_sendump(path: str, n_sen_mdef: int, n_feat: int, n_density: int) -> Mix
     step = c if n_bits == 8 else (c + 1) // 2
     raw = np.frombuffer(data, np.uint8, nf * r * step, pos).reshape(nf, r, step)
     if n_bits == 4:
-        # Senone sen reads byte sen//2; nibble selected by the *byte's* low
-        # bit, reproducing the reference quirk at src/ptm_mgau.c:377-379
-        # ("dcw = (dcw & 1) ? dcw >> 4 : dcw & 0x0f").
         bytes_per_sen = raw[..., np.arange(c) // 2]
-        codes = np.where(bytes_per_sen & 1, bytes_per_sen >> 4,
-                         bytes_per_sen & 0x0F)
+        if nibble_mode == "byte":
+            # PTM scorer quirk: nibble selected by the *byte's* low bit
+            # (src/ptm_mgau.c:377-379, "dcw = (dcw & 1) ? dcw >> 4 :
+            # dcw & 0x0f").
+            odd = (bytes_per_sen & 1).astype(bool)
+        else:
+            # semi scorer: nibble selected by senone-index parity
+            # (src/s2_semi_mgau.c:694-699).
+            odd = (np.arange(c) & 1).astype(bool)[None, None, :]
+            odd = np.broadcast_to(odd, bytes_per_sen.shape)
+        codes = np.where(odd, bytes_per_sen >> 4, bytes_per_sen & 0x0F)
         mixw = mixw_cb[codes]
     else:
         mixw = raw[..., :c].copy()

@@ -50,13 +50,6 @@ class AcousticModel:
         p = lambda f: os.path.join(hmm_dir, f)
         mdef = read_bin_mdef(p("mdef"))
         g = read_gauden(p("means"), p("variances"), varfloor)
-        if sendump is None and os.path.isfile(p("sendump")):
-            sendump = p("sendump")
-        if sendump:
-            mixw = read_sendump(sendump, mdef.n_sen, g.n_feat, g.n_density)
-        else:
-            mixw = read_mixw_quantized(p("mixture_weights"), mixwfloor)
-        tmat = read_tmat(p("transition_matrices"), tmatfloor)
         # Model type selection mirrors acmod_init_am (src/acmod.c:62-170):
         # one codebook per CI phone => PTM; one codebook total => semi;
         # one codebook per senone => fully continuous.
@@ -66,6 +59,17 @@ class AcousticModel:
             mtype = "semi"
         else:
             mtype = "cont"
+        if sendump is None and os.path.isfile(p("sendump")):
+            sendump = p("sendump")
+        if sendump:
+            # 4-bit cluster nibble unpacking differs between the PTM and
+            # semi scorers (see read_sendump docstring).
+            mixw = read_sendump(sendump, mdef.n_sen, g.n_feat, g.n_density,
+                                nibble_mode=("senone" if mtype == "semi"
+                                             else "byte"))
+        else:
+            mixw = read_mixw_quantized(p("mixture_weights"), mixwfloor)
+        tmat = read_tmat(p("transition_matrices"), tmatfloor)
         return cls(mdef=mdef, gauden=g, mixw=mixw, tmat=tmat,
                    model_type=mtype)
 

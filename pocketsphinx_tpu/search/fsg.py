@@ -42,8 +42,10 @@ class FsgDecoder:
         self.mdef = am.mdef
         self.fsg = fsg
         ln = lambda p: math.log(p) / UNIT_NATS
-        self.wip = ln(wip)
-        self.pip = ln(pip)
+        # the FSG search scales wip/pip by lw, unlike the n-gram search
+        # (fsg_search.c:208-217: logmath_log(wip) * lw >> SENSCR_SHIFT)
+        self.wip = ln(wip) * fsg.lw
+        self.pip = ln(pip) * fsg.lw
         if use_filler:
             # add <sil> everywhere plus the other filler-dictionary words
             fsg.add_silence("<sil>", -1, silprob)

@@ -46,9 +46,10 @@ def test_tidigits_semi_continuous_fsg():
         hyp, _ = dec.decode(feats)
         tot += 1
         ok += (hyp == expect.get(fid))
-    # small residual differences vs the reference's pruned search are
-    # acceptable; the bulk must match its own hypotheses
-    assert ok / tot >= 0.8, f"{ok}/{tot}"
+    # 8/8 parity with the reference's own hypotheses (the historical
+    # 7/8 miss was the semi-scorer 4-bit sendump nibble decode,
+    # src/s2_semi_mgau.c:694-699 vs the PTM quirk at ptm_mgau.c:377)
+    assert ok == tot, f"{ok}/{tot}"
 
 
 @pytest.mark.skipif(not AN4.is_dir(), reason="an4 model missing")
@@ -73,6 +74,36 @@ def test_an4_continuous_align():
     by = {w.text: w for w in words}
     assert abs(by["go"].start - 46) <= 5
     assert abs(by["meters"].start - 153) <= 6
+
+
+@pytest.mark.skipif(not AN4.is_dir(), reason="an4 model missing")
+def test_an4_continuous_decode():
+    """Continuous-model n-gram *decode* anchor: an4_ci_cont +
+    turtle.lm.bin on goforward.raw, matching the reference binary's
+    hypothesis and word boundaries (config of test/unit/test_mllr.c
+    sans MLLR; oracle captured from /root/ref-build/pocketsphinx:
+    hyp 'go forward ten meters', go@0.46 forward@0.63 ten@1.20
+    meters@1.53s)."""
+    from pocketsphinx_tpu.lm.ngram import read_lm
+    from pocketsphinx_tpu.search.ngram_fused import NgramFusedDecoder
+    from pocketsphinx_tpu.models.dict2pid import Dict2Pid
+    am = AcousticModel.load(str(AN4))
+    d = Dictionary(am.mdef, str(DATADIR / "turtle.dic"),
+                   str(AN4 / "noisedict"))
+    d2p = Dict2Pid(am.mdef, d)
+    lm = read_lm(str(DATADIR / "turtle.lm.bin"), lw=6.5, wip=0.65)
+    dec = NgramFusedDecoder(am, d2p, lm)
+    pcm = np.frombuffer((DATADIR / "goforward.raw").read_bytes(),
+                        dtype="<i2")
+    cep = MelFrontend().process(pcm)
+    feats, _ = compute_feats_typed(cep, feat_type="1s_c_d_dd",
+                                   cmn="current")
+    hyp, segs = dec.decode(feats)
+    assert hyp == "go forward ten meters"
+    by = {s.word: s for s in segs}
+    for w, sf in [("go", 46), ("forward", 63), ("ten", 120),
+                  ("meters", 153)]:
+        assert abs(by[w].start - sf) <= 3, (w, by[w].start, sf)
 
 
 def test_s2_4x_feature_shape():

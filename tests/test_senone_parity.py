@@ -10,7 +10,7 @@ from pocketsphinx_tpu.fileio import (read_bin_mdef, read_gauden, read_sendump,
 from pocketsphinx_tpu.frontend.feat import compute_feats
 from pocketsphinx_tpu.ops.senone_parity import PTMParityScorer
 
-from conftest import EN_US, GOLDEN, require_model
+from conftest import DATADIR, EN_US, GOLDEN, require_model
 
 
 @pytest.fixture(scope="module")
@@ -54,3 +54,34 @@ def test_int_parity_senone_scores(model):
     # Duplicate (main-search) stream must also match bit-for-bit.
     dup_ok = sum((mine[t] == golden[2 * t + 6]).all() for t in range(272))
     assert dup_ok == 272
+
+
+def test_semi_int_parity_senone_scores():
+    """Semi-continuous (tidigits, 4-bit cluster sendump, 4-stream s2_4x)
+    bit-exact parity: the semi scorer selects 4-bit nibbles by senone
+    parity (src/s2_semi_mgau.c:694-699), NOT by the PTM byte-low-bit
+    quirk (ptm_mgau.c:377) — getting this wrong scrambles half the
+    mixture weights.  Golden: reference `-senlogdir -compallsen yes`
+    dump on man.ah.1b.mfc (FSG mode => no phone-loop interleave; the
+    semi scorer emits unnormalized scores, so compare shifted to
+    per-frame best)."""
+    from pocketsphinx_tpu.models.acoustic import AcousticModel
+    from pocketsphinx_tpu.frontend.feat import compute_feats_typed
+    tid = DATADIR / "tidigits"
+    sen_path = GOLDEN / "tidigits" / "man.ah.1b.sen"
+    if not tid.is_dir() or not sen_path.exists():
+        pytest.skip("tidigits fixtures missing")
+    am = AcousticModel.load(str(tid / "hmm"))
+    assert am.model_type == "semi"
+    golden, active, _ = read_sen(str(sen_path))
+    assert active.all()
+    feats, _ = compute_feats_typed(read_mfc(str(tid / "man.ah.1b.mfc")),
+                                   feat_type="s2_4x", cmn="current")
+    scorer = PTMParityScorer(am.gauden, am.mixw,
+                             np.zeros(am.n_sen, np.int64), max_topn=4)
+    mine = scorer.score_utt(feats)
+    assert mine.shape == golden.shape
+    g = golden.astype(np.int64)
+    g -= g.min(axis=1, keepdims=True)
+    assert (mine == g).all(), \
+        f"{(mine != g).any(axis=1).sum()}/{len(g)} frames mismatch"
