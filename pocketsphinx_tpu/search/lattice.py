@@ -201,6 +201,16 @@ class Lattice:
 
     # -- bestpath (3rd pass) -------------------------------------------------
 
+    @staticmethod
+    def _lat_fil(n: LatNode) -> bool:
+        """The lattice layer's filler test = dict_filler_word
+        (src/dict.c:417-428): filler-dictionary words EXCEPT <s> and
+        </s>, which are *real words* here — a mid-utterance <s> must
+        pay its (essentially -inf) LM probability rather than pass
+        free, or its paths soak up posterior mass the reference
+        assigns ~0."""
+        return n.is_fill and n.base not in ("<s>", "</s>")
+
     def _real_from_wid(self, li: int, back: np.ndarray, lm) -> int:
         """LM word id of link li's source, walking the best_prev chain
         past fillers to the nearest real predecessor word — the
@@ -208,13 +218,13 @@ class Lattice:
         (src/ps_lattice.c:1274-1284, :1496-1506).  Returns -1 when no
         real predecessor exists (history unusable)."""
         n = self.nodes[self.links[li].src]
-        if not n.is_fill or self.links[li].src == self.start:
+        if not self._lat_fil(n) or self.links[li].src == self.start:
             return lm.wid(n.base) if n.base else -1
         p = li
         while back[p] >= 0:
             p = int(back[p])
             n = self.nodes[self.links[p].src]
-            if not n.is_fill or self.links[p].src == self.start:
+            if not self._lat_fil(n) or self.links[p].src == self.start:
                 return lm.wid(n.base) if n.base else -1
         return -1
 
@@ -228,7 +238,7 @@ class Lattice:
             return 0.0
         l = self.links[li]
         to = self.nodes[l.dst]
-        if (to.is_fill and l.dst != self.end) or not to.base:
+        if (self._lat_fil(to) and l.dst != self.end) or not to.base:
             return 0.0
         w2 = lm.wid(to.base)
         if w2 < 0:
@@ -279,7 +289,7 @@ class Lattice:
         for li in self.nodes[self.start].exits:
             l = self.links[li]
             to = self.nodes[l.dst]
-            to_fil = to.is_fill and l.dst != self.end
+            to_fil = self._lat_fil(to) and l.dst != self.end
             score[li] = l.ascr
             if lm is not None and not to_fil:
                 w = lm.wid(to.base)
@@ -314,7 +324,7 @@ class Lattice:
             w3 = self._real_from_wid(li, back, lm) if lm is not None \
                 else -1
             w2 = wid_of(to)
-            w2_fil = to.is_fill and l.dst != self.end
+            w2_fil = self._lat_fil(to) and l.dst != self.end
             bprob = self._link_bprob(li, back, lm)
             if w2_fil:
                 # LM context passes through the filler (:1297-1309)
@@ -324,7 +334,7 @@ class Lattice:
                 x = self.links[xi]
                 w1n = self.nodes[x.dst]
                 w1 = wid_of(w1n)
-                w1_fil = w1n.is_fill and x.dst != self.end
+                w1_fil = self._lat_fil(w1n) and x.dst != self.end
                 alpha[xi] = lse(alpha[xi], alpha[li] + bprob)
                 cand = score[li] + x.ascr
                 if lm is not None and not w1_fil and w1 >= 0 \
@@ -548,7 +558,8 @@ class Lattice:
             return lm.wid(node.base)
 
         def is_fil(nid: int) -> bool:
-            return self.nodes[nid].is_fill and nid != self.end \
+            # dict_filler_word semantics: <s>/</s> are real words here
+            return self._lat_fil(self.nodes[nid]) and nid != self.end \
                 and nid != self.start
 
         def fil_pen(nid: int) -> float:

@@ -97,7 +97,8 @@ class NgramFusedDecoder:
     def __init__(self, am: AcousticModel, d2p: Dict2Pid, lm: NgramModel,
                  silprob: float = 0.005, fillprob: float = 1e-8,
                  pip: float = 1.0, nwpen: float = 1.0,
-                 topk: int | None = None):
+                 topk: int | None = None,
+                 depth_buckets: tuple | None = None):
         self.am = am
         self.d2p = d2p
         self.dict = d2p.dict
@@ -111,6 +112,16 @@ class NgramFusedDecoder:
         self.topk = topk
         if self.topk is None:
             self.topk = int(os.environ.get("PS_NGRAM_TOPK", "96"))
+        # Depth-bucket quantization: FEW buckets (default: one per word
+        # class) so the per-frame step compiles to few large fused
+        # kernels.  TPU step cost is dominated by kernel count, not
+        # element count (docs/PERF_NOTES.md): round 3's original 12-way
+        # bucketing spent ~7us of launch overhead per tiny kernel.
+        if depth_buckets is None:
+            env = os.environ.get("PS_NGRAM_DEPTHS")
+            depth_buckets = (tuple(int(x) for x in env.split(","))
+                             if env else ())
+        self.depth_buckets = tuple(depth_buckets)
         self._build()
 
     # -- static structure ----------------------------------------------------
@@ -141,9 +152,8 @@ class NgramFusedDecoder:
         self.n_single = sum(1 for t in picked if t[0] == 1)
         self.n_ci = self.W - self.n_multi - self.n_single
 
-    @staticmethod
-    def _depth_for(length_minus: int) -> int:
-        for d in (1, 2, 3, 4, 5, 6, 8, 10, 13, 17, 22, 28):
+    def _depth_for(self, length_minus: int) -> int:
+        for d in self._depth_buckets:
             if length_minus <= d:
                 return d
         return length_minus
@@ -165,6 +175,14 @@ class NgramFusedDecoder:
         def tp_of(ci):
             t = tmat_tp[mdef.phone_tmat[ci]].astype(np.float32)
             return np.where(t == 255, NEG_INF, -t)
+
+        # resolve depth buckets: empty tuple = one bucket per class
+        self._depth_buckets = self.depth_buckets
+        if not self._depth_buckets:
+            need = [len(d.pron(w)) - 1 for w in self.words[:n_multi]] \
+                + [len(d.pron(w))
+                   for w in self.words[n_multi + n_single:]]
+            self._depth_buckets = (max(need) if need else 1,)
 
         # occurring right contexts: word-initial phones + SIL
         rc_set = sorted({p[0] for p in prons} | {sil})
@@ -233,18 +251,33 @@ class NgramFusedDecoder:
         self.senid_fin, self.tp_fin = senid_fin, tp_fin
 
         # ---- single-phone real words: explicit (lc-class) columns ----
-        sp_cols = []          # (word index, variant, rep lc)
-        accept_sp = []        # [n_ci] bool per column
+        # Rectangular layout: every single word owns exactly Cmax
+        # columns (dead pad columns accept no left context and stay at
+        # NEG_INF), so the per-word exit reduction in the scan is ONE
+        # vectorized [Cmax, n_single] argmax instead of a Python loop of
+        # per-word reductions (kernel-count, see _depth_buckets note).
+        word_variants = []    # (word index, uniq ssid-rows, inv)
+        Cmax = 1
         for k in range(n_multi, n_multi + n_single):
             p0 = prons[k][0]
             table = d2p.lrdiph_rc[p0]
             uniq, inv = np.unique(table, axis=0, return_inverse=True)
-            for v in range(len(uniq)):
-                rep = int(np.nonzero(inv == v)[0][0])
-                sp_cols.append((k, v, rep))
-                accept_sp.append(inv == v)
+            word_variants.append((k, uniq, inv))
+            Cmax = max(Cmax, len(uniq))
+        sp_cols = []          # (word index, variant, rep lc, live)
+        accept_sp = []        # [n_ci] bool per column
+        for k, uniq, inv in word_variants:
+            for v in range(Cmax):
+                if v < len(uniq):
+                    rep = int(np.nonzero(inv == v)[0][0])
+                    sp_cols.append((k, v, rep))
+                    accept_sp.append(inv == v)
+                else:
+                    sp_cols.append((k, 0, int(np.nonzero(inv == 0)[0][0])))
+                    accept_sp.append(np.zeros(mdef.n_ciphone, bool))
         SP = len(sp_cols)
         self.SP = SP
+        self.sp_cmax = Cmax
         senid_sp = np.zeros((NST, n_rc, max(SP, 1)), np.int32)
         tp_sp = np.tile(tp_of(sil)[None], (max(SP, 1), 1, 1))
         col_word = np.zeros(max(SP, 1), np.int64)
@@ -257,11 +290,9 @@ class NgramFusedDecoder:
         self.senid_sp, self.tp_sp, self.sp_col_word = senid_sp, tp_sp, col_word
         self.accept_sp = (np.stack(accept_sp)
                           if SP else np.zeros((0, mdef.n_ciphone), bool))
-        # column ranges per single word
-        self.sp_ranges = []
-        for k in range(n_multi, n_multi + n_single):
-            cols = [c for c, t in enumerate(sp_cols) if t[0] == k]
-            self.sp_ranges.append((k, cols[0], cols[-1] + 1))
+        # column ranges per single word (rectangular: width Cmax each)
+        self.sp_ranges = [(n_multi + i, i * Cmax, (i + 1) * Cmax)
+                          for i in range(n_single)]
 
         # ---- CI chains (fillers, <s>, </s>) ----
         ci0 = n_multi + n_single
@@ -431,6 +462,11 @@ class NgramFusedDecoder:
         rows_np, ctxn_np, ctx2h1_np, ctx2h2_np = self._lm_tables()
         assert self.V < (1 << 15), "history packing needs V < 32768"
         mode_rows = self.lm_mode == "rows"
+        # h1/h2 (and mode-B trigram metadata) ride along the row fetches
+        # instead of separate per-K element gathers: inside the scan an
+        # element gather costs ~latency per index (x B x K per step,
+        # measured 175us/fusion at B=256), while appending columns to an
+        # already-fetched row is free bandwidth.
         # The LM row table and ctx_next can reach GBs at 20k+ words:
         # they flow into the jitted scan as ARGUMENTS (self._dev_tables)
         # rather than captured constants.  Inside the scan body the
@@ -438,18 +474,29 @@ class NgramFusedDecoder:
         # values bound by scan_fn.
         dev_tables = {"ctx_next": ctxn_np}
         if mode_rows:
-            dev_tables["rows"] = rows_np                 # [R, E] f32
+            # rows + [h1, h2] as two appended f32 columns (exact: < 2^15)
+            dev_tables["rows"] = np.concatenate(
+                [rows_np, ctx2h1_np[:, None].astype(np.float32),
+                 ctx2h2_np[:, None].astype(np.float32)], axis=1)
         else:
             sp = self._lm_sparse
             dev_tables["bg"] = sp["bg"]                  # [V+1, E] f32
-            bo2w_j = jnp.asarray(sp["bo2w"])
-            tgcn_j = jnp.asarray(sp["tgc_next"])
             tgc_j = jnp.asarray(sp["tg_cols"])
             tgv_j = jnp.asarray(sp["tg_vals"])
             S_TRI = sp["S_max"]
             N_BG = sp["n_bg"]
-        ctx2h1 = jnp.asarray(ctx2h1_np)                  # [R] i32
-        ctx2h2 = jnp.asarray(ctx2h2_np)                  # [R] i32
+            # per-bigram-context metadata rows [n_bg, 8] i32:
+            # (h1, h2, bo2w bits, tgc_start, tgc_count, pad...)
+            nbg1 = max(N_BG, 1)
+            bgmeta = np.zeros((nbg1, 8), np.int32)
+            if N_BG:
+                tgcn = sp["tgc_next"].astype(np.int64)
+                bgmeta[:, 0] = ctx2h1_np[1 + self.V:]
+                bgmeta[:, 1] = ctx2h2_np[1 + self.V:]
+                bgmeta[:, 2] = sp["bo2w"].astype(np.float32).view(np.int32)
+                bgmeta[:, 3] = tgcn[:-1]
+                bgmeta[:, 4] = (tgcn[1:] - tgcn[:-1])
+            dev_tables["bgmeta"] = bgmeta
         accept_E = jnp.asarray(self.accept_E)            # [E, n_ciph]
         isfill_E = jnp.asarray(self.isfill_E)
         fillpen_E = jnp.asarray(self.fillpen_E)
@@ -561,6 +608,7 @@ class NgramFusedDecoder:
         def make_step(tables):
             rows_tab = tables.get("rows")
             bg_tab = tables.get("bg")
+            bgmeta_tab = tables.get("bgmeta")
             ctx_next = tables["ctx_next"]
 
             def step(carry, xs):
@@ -638,23 +686,17 @@ class NgramFusedDecoder:
                     sp_new = dict(S=newS, TF=nTF, CTX=nCTX)
                     colb, (coltf, colcx) = argmax_payload(
                         out_s, [oTF_s, oCTX_s])                     # [SP]
-                    esc_s, etf_s, ecx_s, etg_s, sv_s_w = [], [], [], [], []
-                    for k, c0, c1 in self.sp_ranges:
-                        seg = colb[c0:c1]
-                        mx, (tf_, cx_, tg_) = argmax_payload(
-                            seg, [coltf[c0:c1], colcx[c0:c1],
-                                  jnp.arange(c0, c1, dtype=jnp.int32)])
-                        esc_s.append(mx[None])
-                        etf_s.append(tf_[None])
-                        ecx_s.append(cx_[None])
-                        etg_s.append(tg_[None] + n_multi)
-                        sv_s_w.append(jnp.max(out_s[:, c0:c1], axis=1,
-                                              keepdims=True))
-                    esc_s = jnp.concatenate(esc_s)
-                    etf_s = jnp.concatenate(etf_s)
-                    ecx_s = jnp.concatenate(ecx_s)
-                    etg_s = jnp.concatenate(etg_s)
-                    sv_s = jnp.concatenate(sv_s_w, axis=1)      # [n_rc, W_sp]
+                    # rectangular [n_single, Cmax] layout: one vectorized
+                    # per-word reduction (dead pad columns sit at NEG_INF)
+                    nS, Cm = self.n_single, self.sp_cmax
+                    colidx = jnp.arange(SP, dtype=jnp.int32) + n_multi
+                    esc_s, (etf_s, ecx_s, etg_s) = argmax_payload(
+                        colb.reshape(nS, Cm).T,
+                        [coltf.reshape(nS, Cm).T,
+                         colcx.reshape(nS, Cm).T,
+                         colidx.reshape(nS, Cm).T])
+                    sv_s = jnp.max(out_s.reshape(n_rc, nS, Cm),
+                                   axis=2)                       # [n_rc, W_sp]
                 else:
                     sp_new = None
                     sv_s = jnp.zeros((n_rc, 0))
@@ -710,28 +752,39 @@ class NgramFusedDecoder:
                 payk = jnp.einsum("kw,wp->kp", onek, pay, precision=HI)
                 ctx_k = payk[:, 0].astype(jnp.int32)
                 fb_k = payk[:, 1].astype(jnp.int32)
-                rw1_k = ctx2h1[ctx_k]                                # [K] gather
-                rw2_k = ctx2h2[ctx_k]
                 svk = jnp.einsum("kw,rw->kr", onek, sv,
                                  precision=HI)                       # [K, n_rc]
                 exg = jnp.einsum("kr,er->ke", svk, f0_onehot,
                                  precision=HI)                       # [K, E]
                 if mode_rows:
-                    lmrow = jax.vmap(lambda i: jax.lax.dynamic_slice_in_dim(
-                        rows_tab, i, 1, 0)[0])(ctx_k)                # [K, E]
+                    lmfull = jax.vmap(lambda i: jax.lax.dynamic_slice_in_dim(
+                        rows_tab, i, 1, 0)[0])(ctx_k)            # [K, E+2]
+                    lmrow = lmfull[:, :nE]
+                    rw1_k = lmfull[:, nE].astype(jnp.int32)
+                    rw2_k = lmfull[:, nE + 1].astype(jnp.int32)
                 else:
                     # mode B: bigram row of the context's newest word (+
-                    # trigram backoff), then sparse per-context overrides
+                    # trigram backoff), then sparse per-context overrides.
+                    # All per-context metadata comes from ONE [K, 8] row
+                    # fetch; unigram-context h1/h2 are arithmetic.
+                    is_tri = ctx_k > self.V
+                    b = jnp.clip(ctx_k - 1 - self.V, 0, max(N_BG - 1, 0))
+                    meta = jax.vmap(lambda i: jax.lax.dynamic_slice_in_dim(
+                        bgmeta_tab, i, 1, 0)[0])(b)                  # [K, 8]
+                    rw1_k = jnp.where(
+                        is_tri, meta[:, 0],
+                        jnp.where(ctx_k > 0, ctx_k - 1, self.V))
+                    rw2_k = jnp.where(is_tri, meta[:, 1], self.V)
+                    bo2w_v = jax.lax.bitcast_convert_type(
+                        meta[:, 2], jnp.float32)
                     h1c = jnp.minimum(rw1_k, self.V)
                     base = jax.vmap(lambda i: jax.lax.dynamic_slice_in_dim(
                         bg_tab, i, 1, 0)[0])(h1c)                    # [K, E]
-                    is_tri = ctx_k > self.V
-                    b = jnp.clip(ctx_k - 1 - self.V, 0, max(N_BG - 1, 0))
-                    lmrow = base + jnp.where(is_tri, bo2w_j[b],
+                    lmrow = base + jnp.where(is_tri, bo2w_v,
                                              0.0)[:, None]
                     if S_TRI:
-                        start = tgcn_j[b]
-                        cnt = tgcn_j[b + 1] - start
+                        start = meta[:, 3]
+                        cnt = meta[:, 4]
                         wc = jax.vmap(lambda s: jax.lax.dynamic_slice_in_dim(
                             tgc_j, s, S_TRI))(start)                 # [K, S]
                         wv = jax.vmap(lambda s: jax.lax.dynamic_slice_in_dim(
@@ -878,6 +931,13 @@ class NgramFusedDecoder:
 
             def outer(c, xch):
                 cchunk, vchunk, tchunk = xch
+                # barrier: keep the pre-gather INSIDE the outer scan.
+                # Without it XLA's LICM rewrites gather(slice(costs)) as
+                # slice(gather(costs)) and materializes the expansion for
+                # the whole utterance at once — a [N_flat, n_chunks, CH]
+                # intermediate whose (8,128) tile padding overflows HBM
+                # at 20k-word scale (observed: 19 GB for a 900 MB array).
+                cchunk = jax.lax.optimization_barrier(cchunk)
                 g = cchunk[:, senid_all_j]          # [CH, N_flat] pre-gather
                 c, ys = jax.lax.scan(step, c, (g, tchunk, vchunk))
                 return c, ys

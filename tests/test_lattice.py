@@ -156,7 +156,11 @@ def test_lattice_layer_reference_parity(decoded):
     lat.bestpath(lm=lm, lwf=9.5 / 6.5, finish_word="</s>")
     post = lat.posterior(lm=lm, ascale=20.0)
     ours = math.exp(min(post, 0.0))
-    assert 0.25 * ref_prob < ours < 4 * ref_prob
+    # our dense-records lattice has more links than the reference's
+    # beam-pruned bptable, so the normalizer sees extra mass; with the
+    # dict_filler_word semantics fixed (<s>/</s> are real words in the
+    # lattice math) the sentence posterior lands within 1.5x
+    assert ref_prob / 1.5 < ours < 1.5 * ref_prob, (ours, ref_prob)
     segs = {s.word: s for s in decoded.seg_iter()}
     for w in ("go", "forward", "ten", "meters"):
         assert segs[w].prob > 0.9   # reference: 1.000
@@ -168,10 +172,11 @@ def test_lattice_layer_reference_parity(decoded):
 def test_link_posterior_algorithm_parity(decoded):
     """Per-link alpha/beta parity on the reference-written DAG: our
     bestpath+posterior on tests/golden/goforward/goforward.lat must
-    reproduce the reference's own in-memory link posteriors for links
-    present in both (the written DAG drops ascr>0 links, so only
-    well-matched links are compared).  <s> 0-45 -> go is the anchor:
-    reference computes 0.2407 (decode_oracle.txt LINK lines)."""
+    reproduce the reference's own in-memory link posteriors on EVERY
+    shared per-destination link (the written DAG drops ascr>0 links,
+    so 41 of the reference's 248 in-memory links are absent; the
+    full-graph test below covers all of them)."""
+    import math
     import pathlib
     gold = pathlib.Path(__file__).parent / "golden/goforward"
     if not (gold / "decode_oracle.txt").exists():
@@ -181,15 +186,94 @@ def test_link_posterior_algorithm_parity(decoded):
                        dictionary=decoded.dict)
     lat.bestpath(lm=lm, lwf=9.5 / 6.5)
     lat.posterior(lm=lm, ascale=20.0)
-    ref_links = {}
+    ours = {}
+    for l in lat.links:
+        n, dst = lat.nodes[l.src], lat.nodes[l.dst]
+        key = (n.word, n.sf, l.ef, dst.word)
+        p = math.exp(l.post) if l.post > NEG_ISH else 0.0
+        ours[key] = ours.get(key, 0.0) + p
+    tot = bad = 0
     for ln in (gold / "decode_oracle.txt").read_text().splitlines():
         if not ln.startswith("LINK "):
             continue
         p = ln.split()
-        ref_links[(p[1], int(p[2]), int(p[3]))] = float(p[-1])
-    # anchor links on the best path
-    anchors = [("<s>", 0, 45), ("ten", 121, 152)]
-    for w, sf, ef in anchors:
-        ours = lat.link_posterior(w, sf, ef)
-        assert abs(ours - min(ref_links[(w, sf, ef)], 1.0)) < 0.05, \
-            (w, sf, ef, ours, ref_links[(w, sf, ef)])
+        key = (p[1], int(p[2]), int(p[3]), p[5])
+        if key not in ours:
+            continue   # dropped by ps_lattice_write (ascr > 0)
+        tot += 1
+        if abs(min(ours[key], 1.0) - min(float(p[-1]), 1.0)) > 0.05:
+            bad += 1
+    assert tot > 150
+    assert bad == 0, f"{bad}/{tot} links beyond 0.05"
+
+
+NEG_ISH = -1e29
+
+
+def test_full_graph_link_posterior_parity(decoded):
+    """ALL-links posterior parity on the reference's EXACT in-memory
+    graph, reconstructed from the LINKG dump (decode_oracle.c): every
+    one of the 248 links within 0.05 posterior, and the sentence
+    posterior equal to the reference's (P(S|O)=0.1270) within 5% —
+    algorithmic exactness of bestpath + forward/backward, including
+    the dict_filler_word rule that <s>/</s> are REAL words in the
+    lattice math (src/dict.c:417-428) so mid-utterance <s> paths pay
+    their ~-inf LM probability."""
+    import math
+    import pathlib
+    from pocketsphinx_tpu.search.lattice import LatNode, LatLink
+    gold = pathlib.Path(__file__).parent / "golden/goforward"
+    txt = (gold / "decode_oracle.txt").read_text() \
+        if (gold / "decode_oracle.txt").exists() else ""
+    if "LINKG" not in txt:
+        pytest.skip("full-graph oracle golden not captured")
+    d = decoded.dict
+    lm = decoded._searches[decoded._active].lm
+    lat = Lattice()
+    node_of, links_ref = {}, []
+    for ln in txt.splitlines():
+        p = ln.split()
+        if ln.startswith("LINKG "):
+            links_ref.append((p[1], int(p[2]), int(p[3]), p[5],
+                              int(p[6]), int(p[8]), float(p[10])))
+        elif ln.startswith("ENDG "):
+            end_key = (p[1], int(p[2]))
+            lat.final_node_ascr = int(p[4])
+        elif ln.startswith("PROB:"):
+            ref_prob = float(p[2])
+
+    def get_node(w, sf):
+        if (w, sf) not in node_of:
+            wid = d.wordid(w)
+            n = LatNode(word=w, base=d.basestr(wid) if wid >= 0 else w,
+                        sf=sf,
+                        is_fill=d.is_filler(wid) if wid >= 0 else True,
+                        id=len(lat.nodes))
+            lat.nodes.append(n)
+            node_of[(w, sf)] = n.id
+        return node_of[(w, sf)]
+
+    for fw, fsf, ef, tw, tsf, ascr, post in links_ref:
+        src, dst = get_node(fw, fsf), get_node(tw, tsf)
+        # ps_latlink_prob returns ascr << SENSCR_SHIFT; our links hold
+        # shifted units
+        l = LatLink(src=src, dst=dst, ef=ef, ascr=ascr / 1024.0)
+        lid = len(lat.links)
+        lat.links.append(l)
+        lat.nodes[src].exits.append(lid)
+        lat.nodes[dst].entries.append(lid)
+    lat.n_frames = max(int(k[1]) for k in node_of) + 1
+    lat.start = node_of[("<s>", 0)]
+    lat.end = node_of[end_key]
+    hyp, _, _ = lat.bestpath(lm=lm, lwf=9.5 / 6.5)
+    post = lat.posterior(lm=lm, ascale=20.0)
+    assert hyp == "go forward ten meters"
+    ours_p = math.exp(min(post, 0.0))
+    assert abs(ours_p - ref_prob) < 0.05 * ref_prob, (ours_p, ref_prob)
+    bad = []
+    for li, (fw, fsf, ef, tw, tsf, ascr, rp) in enumerate(links_ref):
+        op = math.exp(lat.links[li].post) \
+            if lat.links[li].post > NEG_ISH else 0.0
+        if abs(min(op, 1.0) - min(rp, 1.0)) > 0.05:
+            bad.append((fw, fsf, ef, tw, op, rp))
+    assert not bad, f"{len(bad)}/{len(links_ref)}: {bad[:5]}"

@@ -9,7 +9,7 @@ REF=${2:-/root/reference}
 HERE=$(dirname "$0")
 OUT=$HERE/../tests/golden
 gcc -o /tmp/decode_oracle "$HERE/ref_oracle/decode_oracle.c" \
-    -I"$REF/include" -I"$BUILD/include" -L"$BUILD" -lpocketsphinx -lm
+    -I"$REF/include" -I"$BUILD/include" -I"$REF/src" -L"$BUILD" -lpocketsphinx -lm
 /tmp/decode_oracle "$REF/model/en-us/en-us" "$REF/test/data/turtle.lm.bin" \
     "$REF/test/data/turtle.dic" "$REF/test/data/goforward.raw" \
     2>/dev/null > "$OUT/goforward/decode_oracle.txt"

@@ -4,6 +4,7 @@
  * hyp, P(S|O), per-segment posteriors, per-link alpha/beta/post, and
  * N-best.  Output committed under tests/golden/ as parity oracle. */
 #include <pocketsphinx.h>
+#include "ps_lattice_internal.h"
 #include <stdio.h>
 #include <stdlib.h>
 
@@ -65,6 +66,32 @@ int main(int argc, char *argv[])
                    ps_latlink_word(dag, link), sf, ef,
                    ps_latnode_word(dag, ps_latlink_nodes(link, NULL)),
                    logmath_exp(lmath, prob));
+        }
+        /* Full-graph dump (LINKG): unlike ps_lattice_write, which
+         * drops ascr>0 links, this records every in-memory link with
+         * its node start frames and acoustic score so the exact graph
+         * can be reconstructed for all-link posterior parity tests. */
+        for (link = ps_lattice_traverse_edges(dag, NULL, NULL);
+             link; link = ps_lattice_traverse_next(dag, NULL)) {
+            int32 ascr, prob;
+            int16 sf, ef;
+            ps_latnode_t *src, *dst;
+            prob = ps_latlink_prob(dag, link, &ascr);
+            ef = ps_latlink_times(link, &sf);
+            dst = ps_latlink_nodes(link, &src);
+            printf("LINKG %s %d %d -> %s %d ascr %d post %.6f\n",
+                   ps_latnode_word(dag, src), sf, ef,
+                   ps_latnode_word(dag, dst),
+                   ps_latnode_times(dst, NULL, NULL),
+                   ascr, logmath_exp(lmath, prob));
+        }
+        {
+            /* internal struct access (built with -I$REF/src): end
+             * node identity, implicit final link ascr, normalizer */
+            printf("ENDG %s %d final_node_ascr %d norm %d\n",
+                   ps_latnode_word(dag, dag->end),
+                   ps_latnode_times(dag->end, NULL, NULL),
+                   dag->final_node_ascr, dag->norm);
         }
     }
     for (n = 1, nbest = ps_nbest(ps); nbest && n <= 10;
