@@ -179,7 +179,7 @@ def main():
     dec_big = build(ref, os.path.join(here, "bench_data/bench-1.7k.dic"),
                     os.path.join(here, "bench_data/bench-1.7k.lm.bin"))
     big = bench_config(dec_big, fe, pcm,
-                       B=int(os.environ.get("BENCH_BATCH_BIG", "16")),
+                       B=int(os.environ.get("BENCH_BATCH_BIG", "48")),
                        n_iter=n_iter, measure_stages=True)
     big["W"] = dec_big.W
     big["P"] = dec_big.P
@@ -188,7 +188,7 @@ def main():
     dec_sm = build(ref, os.path.join(ref, "test/data/turtle.dic"),
                    os.path.join(ref, "test/data/turtle.lm.bin"))
     small = bench_config(dec_sm, fe, pcm,
-                         B=int(os.environ.get("BENCH_BATCH", "256")),
+                         B=int(os.environ.get("BENCH_BATCH", "512")),
                          n_iter=n_iter)
     small["W"] = dec_sm.W
 

@@ -593,11 +593,14 @@ class NgramFusedDecoder:
         def argmax_payload(cand, axis0_payloads):
             """cand [A, ...]: max over axis 0 with first-winner payload
             select.  axis0_payloads: list of [A, ...]-broadcastable
-            arrays.  Returns (max [...], [payload [...], ...])."""
+            arrays.  Returns (max [...], [payload [...], ...]).
+            jnp.argmax returns the FIRST maximal index, giving the same
+            tie order as the old cumsum-of-equals formulation with one
+            reduce instead of a compare+cumsum+mask chain."""
             mx = jnp.max(cand, axis=0)
-            eq = cand == mx[None]
-            first = jnp.cumsum(eq.astype(jnp.int32), axis=0) == 1
-            m = eq & first
+            am = jnp.argmax(cand, axis=0)
+            m = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0) \
+                == am[None]
             outs = []
             for p in axis0_payloads:
                 pb = jnp.broadcast_to(p, cand.shape)
