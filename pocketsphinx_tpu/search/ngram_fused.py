@@ -237,6 +237,28 @@ class NgramFusedDecoder:
             ch.senid, ch.tp, ch.fd = senid, tp, fd
             ch.firstmask = (np.arange(ch.D)[:, None] == fd[None, :])
             ch.senid_first, ch.n_var, ch.RF = senid_first, nvar, RF
+            # Shared per-first-diphone variant planes: the variant ssid
+            # set is a function of (p0, p1) alone (ldiph_lc[p0][p1],
+            # src/dict2pid.c), so the per-frame senone pre-gather only
+            # needs one plane per DISTINCT first diphone; expansion to
+            # words is an exact one-hot f32 matmul on the MXU.  Cuts
+            # the dominant pre-gather terms ~30x at 20k words
+            # (docs/PERF_NOTES.md N_flat table).
+            bpairs = [(prons[ch.w_lo + k][0], prons[ch.w_lo + k][1])
+                      for k in range(Wb)]
+            fd_list = sorted(set(bpairs))
+            fd_of = {p: i for i, p in enumerate(fd_list)}
+            n_fd = len(fd_list)
+            senid_first_d = np.zeros((NST, RF, n_fd), np.int32)
+            for fi, (a, b) in enumerate(fd_list):
+                u = np.unique(d2p.ldiph_lc[a, b])
+                for v in range(RF):
+                    senid_first_d[:, v, fi] = \
+                        sseq[int(u[min(v, len(u) - 1)])]
+            fd_onehot = np.zeros((n_fd, Wb), np.float32)
+            for k, p_ in enumerate(bpairs):
+                fd_onehot[fd_of[p_], k] = 1.0
+            ch.senid_first_d, ch.fd_onehot = senid_first_d, fd_onehot
         self.chains = chains
         self.lc_cls = lc_cls
 
@@ -249,6 +271,21 @@ class NgramFusedDecoder:
             senid_fin[:, :, k] = sseq[ss.astype(np.int64)].T
             tp_fin[k] = tp_of(pron[-1])
         self.senid_fin, self.tp_fin = senid_fin, tp_fin
+        # shared per-final-diphone fan planes (rdiph_rc[last, penult] is
+        # a function of the final diphone alone; same sharing trick as
+        # senid_first_d above)
+        lp_pairs = [(prons[k][-1], prons[k][-2]) for k in range(n_multi)]
+        lp_list = sorted(set(lp_pairs))
+        lp_of = {p: i for i, p in enumerate(lp_list)}
+        n_lp = max(len(lp_list), 1)
+        senid_fin_d = np.zeros((NST, n_rc, n_lp), np.int32)
+        for li_, (a, b) in enumerate(lp_list):
+            ss = d2p.rdiph_rc[a, b][rc_set]
+            senid_fin_d[:, :, li_] = sseq[ss.astype(np.int64)].T
+        lp_onehot = np.zeros((n_lp, max(n_multi, 1)), np.float32)
+        for k, p_ in enumerate(lp_pairs):
+            lp_onehot[lp_of[p_], k] = 1.0
+        self.senid_fin_d, self.lp_onehot = senid_fin_d, lp_onehot
 
         # ---- single-phone real words: explicit (lc-class) columns ----
         # Rectangular layout: every single word owns exactly Cmax
@@ -519,8 +556,10 @@ class NgramFusedDecoder:
             return len(seg_shapes) - 1
 
         si_ch = [add_seg(ch.senid) for ch in self.chains]
-        si_fv = [add_seg(ch.senid_first) for ch in self.chains]
-        si_fin = add_seg(self.senid_fin[:, :, :n_multi]) if n_multi else None
+        si_fv = [add_seg(ch.senid_first_d) for ch in self.chains]
+        fd_oh = [jnp.asarray(ch.fd_onehot) for ch in self.chains]
+        si_fin = add_seg(self.senid_fin_d) if n_multi else None
+        lp_oh = jnp.asarray(self.lp_onehot) if n_multi else None
         si_sp = add_seg(self.senid_sp[:, :, :SP]) if SP else None
         si_ci = [add_seg(ch.senid) for ch in self.ci_chains]
         senid_all = np.concatenate(seg_ids) if seg_ids else np.zeros(0, int)
@@ -623,7 +662,11 @@ class NgramFusedDecoder:
                 for bi, ch in enumerate(self.chains):
                     e = carry["ch"][bi]
                     pre = seg_of(g, si_ch[bi])           # [3, D, Wb] costs
-                    prev = seg_of(g, si_fv[bi])          # [3, RF, Wb]
+                    prev_d = seg_of(g, si_fv[bi])        # [3, RF, n_fd]
+                    # expand per-diphone variant planes to words (exact
+                    # one-hot f32 matmul; see senid_first_d in _build)
+                    prev = jnp.einsum("jvf,fw->jvw", prev_d, fd_oh[bi],
+                                      precision=jax.lax.Precision.HIGHEST)
                     fm = ch_fm[bi]                       # [D, Wb]
                     nv = jnp.asarray(ch.n_var)
                     sen = []
@@ -657,7 +700,9 @@ class NgramFusedDecoder:
                 # ---------- finals fan ----------
                 if n_multi:
                     e = carry["fin"]
-                    pre = seg_of(g, si_fin)              # [3, n_rc, Wm]
+                    pre_d = seg_of(g, si_fin)            # [3, n_rc, n_lp]
+                    pre = jnp.einsum("jrn,nw->jrw", pre_d, lp_oh,
+                                     precision=jax.lax.Precision.HIGHEST)
                     sen = tuple(-pre[j] for j in range(NST))
                     newS, (nTF, nCTX), out_f, _, (oTF_f, oCTX_f) = hmm_step_sm(
                         e["S"], sen, tp_fin, metas=(e["TF"], e["CTX"]))
