@@ -575,6 +575,25 @@ class NgramFusedDecoder:
         ch_fm = [jnp.asarray(ch.firstmask) for ch in self.chains]
         ci_tp = [jnp.asarray(ch.tp) for ch in self.ci_chains]
         ci_fm = [jnp.asarray(ch.firstmask) for ch in self.ci_chains]
+        # Pallas fused chain kernel (ops/pallas_chain.py): one kernel
+        # per bucket instead of ~35 fused XLA kernels.  PS_PALLAS=1
+        # enables; interpret mode keeps CPU tests exact.
+        use_pallas = os.environ.get("PS_PALLAS", "0") == "1"
+        if use_pallas:
+            from ..ops.pallas_chain import chain_step as _pl_chain
+            _dd = jax.config.jax_default_device
+            _plat = _dd.platform if _dd is not None \
+                else jax.default_backend()
+            pallas_interp = _plat != "tpu"
+
+            def tp_planes(tp4):
+                NSTp = tp4.shape[2]
+                return jnp.asarray(np.ascontiguousarray(
+                    np.transpose(tp4, (2, 3, 0, 1))).reshape(
+                        NSTp * (NSTp + 1), tp4.shape[0], tp4.shape[1]))
+
+            ch_tpp = [tp_planes(ch.tp) for ch in self.chains]
+            ci_tpp = [tp_planes(ch.tp) for ch in self.ci_chains]
         tp_fin = jnp.asarray(self.tp_fin[:n_multi]) if n_multi else None
         tp_sp = jnp.asarray(self.tp_sp[:SP]) if SP else None
         CH = self.CHUNK
@@ -669,6 +688,20 @@ class NgramFusedDecoder:
                                       precision=jax.lax.Precision.HIGHEST)
                     fm = ch_fm[bi]                       # [D, Wb]
                     nv = jnp.asarray(ch.n_var)
+                    if use_pallas:
+                        nS, nTF_, nCX_, nVR_, el, elTF, elCX = _pl_chain(
+                            jnp.stack(e["S"]), jnp.stack(e["TF"]),
+                            jnp.stack(e["CTX"]), jnp.stack(e["VAR"]),
+                            pre, prev, ch_tpp[bi], fm, nv,
+                            np.float32(pip), interpret=pallas_interp)
+                        newc["ch"].append(dict(
+                            S=tuple(nS[j] for j in range(NST)),
+                            TF=tuple(nTF_[j] for j in range(NST)),
+                            CTX=tuple(nCX_[j] for j in range(NST)),
+                            VAR=tuple(nVR_[j] for j in range(NST))))
+                        outs_last.append(el)
+                        ch_exits.append((el, elTF, elCX))
+                        continue
                     sen = []
                     for j in range(NST):
                         sf = first_select(-prev[j], e["VAR"][j], nv)
@@ -696,7 +729,7 @@ class NgramFusedDecoder:
                         VAR=tuple(jnp.sum(jnp.where(fm, v, 0), axis=0)
                                   for v in nVARd)))
                     outs_last.append(out[-1])
-                    ch_exits.append((out, oTF, oCTX))
+                    ch_exits.append((out[-1], oTF[-1], oCTX[-1]))
                 # ---------- finals fan ----------
                 if n_multi:
                     e = carry["fin"]
@@ -708,8 +741,8 @@ class NgramFusedDecoder:
                         e["S"], sen, tp_fin, metas=(e["TF"], e["CTX"]))
                     # entry from chain last depth
                     pred = jnp.concatenate(outs_last) + pip        # [Wm]
-                    predTF = jnp.concatenate([x[1][-1] for x in ch_exits])
-                    predCTX = jnp.concatenate([x[2][-1] for x in ch_exits])
+                    predTF = jnp.concatenate([x[1] for x in ch_exits])
+                    predCTX = jnp.concatenate([x[2] for x in ch_exits])
                     win = pred[None, :] > newS[0]
                     finS0 = jnp.where(win, pred[None, :], newS[0])
                     finTF0 = jnp.where(win, predTF[None, :], nTF[0])
@@ -756,10 +789,25 @@ class NgramFusedDecoder:
                 for bi, ch in enumerate(self.ci_chains):
                     e = carry["ci"][bi]
                     pre = seg_of(g, si_ci[bi])
+                    fm = ci_fm[bi]
+                    if use_pallas:
+                        nS, nTF_, nCX_, _, el, elTF, elCX = _pl_chain(
+                            jnp.stack(e["S"]), jnp.stack(e["TF"]),
+                            jnp.stack(e["CTX"]), None, pre, None,
+                            ci_tpp[bi], fm,
+                            jnp.ones(ch.Wb, jnp.int32), np.float32(pip),
+                            interpret=pallas_interp)
+                        newc["ci"].append(dict(
+                            S=tuple(nS[j] for j in range(NST)),
+                            TF=tuple(nTF_[j] for j in range(NST)),
+                            CTX=tuple(nCX_[j] for j in range(NST))))
+                        esc_c.append(el)
+                        etf_c.append(elTF)
+                        ecx_c.append(elCX)
+                        continue
                     sen = tuple(-pre[j] for j in range(NST))
                     newS, (nTF, nCTX), out, _, (oTF, oCTX) = hmm_step_sm(
                         e["S"], sen, ci_tp[bi], metas=(e["TF"], e["CTX"]))
-                    fm = ci_fm[bi]
                     sh = jnp.concatenate(
                         [jnp.full((1, ch.Wb), NEG_INF), out[:-1]]) + pip
                     sh = jnp.where(fm, NEG_INF, sh)

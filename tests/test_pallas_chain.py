@@ -1,0 +1,90 @@
+"""Pallas fused chain-step kernel vs the jnp formulation it replaces
+(hmm_step_sm + variant select + shift merge), bit-exact on random
+data.  Runs in interpret mode on CPU; the same kernel compiles for TPU
+(PS_PALLAS=1 enables it in the fused decoder's scan)."""
+
+import numpy as np
+import pytest
+
+
+def _ref_block(S, TF, CTX, VAR, pre, prevd, tp4, fm, nv, pip):
+    """The existing jnp chain-block semantics (ngram_fused step)."""
+    import jax
+    import jax.numpy as jnp
+    from pocketsphinx_tpu.ops.hmm import hmm_step_sm
+
+    NST, D, W = S.shape
+    RF = prevd.shape[1]
+
+    def first_select(vals, var, n):
+        v = jnp.minimum(var, n - 1)[None, :]
+        oh = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0) == v
+        return jnp.sum(jnp.where(oh, vals, 0.0), axis=0)
+
+    sen = []
+    for j in range(NST):
+        sf = first_select(-prevd[j], VAR[j], nv)
+        s = -pre[j]
+        s = jnp.where(fm, sf[None, :], s)
+        sen.append(s)
+    metas = (tuple(TF), tuple(CTX),
+             tuple(jnp.broadcast_to(v[None, :], (D, W)) for v in VAR))
+    newS, (nTF, nCTX, nVARd), out, _, (oTF, oCTX, _) = hmm_step_sm(
+        tuple(S), tuple(sen), tp4, metas=metas)
+    sh = jnp.concatenate([jnp.full((1, W), -1e30), out[:-1]]) + pip
+    sh = jnp.where(fm, -1e30, sh)
+    shTF = jnp.concatenate([oTF[:1], oTF[:-1]])
+    shCX = jnp.concatenate([oCTX[:1], oCTX[:-1]])
+    win = sh > newS[0]
+    s0 = jnp.where(win, sh, newS[0])
+    tf0 = jnp.where(win, shTF, nTF[0])
+    cx0 = jnp.where(win, shCX, nCTX[0])
+    newVAR = tuple(jnp.sum(jnp.where(fm, v, 0), axis=0) for v in nVARd)
+    return ((s0,) + newS[1:], (tf0,) + nTF[1:], (cx0,) + nCTX[1:],
+            newVAR, out[-1], oTF[-1], oCTX[-1])
+
+
+@pytest.mark.parametrize("NST,D,W,RF", [(3, 6, 200, 4), (5, 3, 130, 2)])
+def test_chain_step_matches_jnp(NST, D, W, RF):
+    import jax.numpy as jnp
+    from pocketsphinx_tpu.ops.pallas_chain import chain_step
+
+    rng = np.random.RandomState(7)
+    S = rng.randn(NST, D, W).astype(np.float32) * 30
+    TF = rng.randint(0, 99, (NST, D, W)).astype(np.int32)
+    CTX = rng.randint(0, 999, (NST, D, W)).astype(np.int32)
+    VAR = rng.randint(0, RF, (NST, W)).astype(np.int32)
+    pre = (rng.rand(NST, D, W) * 80).astype(np.float32)
+    prevd = (rng.rand(NST, RF, W) * 80).astype(np.float32)
+    tp4 = -(rng.rand(D, W, NST, NST + 1) * 5).astype(np.float32)
+    fd = rng.randint(0, D, W)
+    fm = (np.arange(D)[:, None] == fd[None, :])
+    nv = rng.randint(1, RF + 1, W).astype(np.int32)
+    pip = np.float32(-0.7)
+
+    rS, rTF, rCX, rVR, reS, reTF, reCX = _ref_block(
+        jnp.asarray(S), [jnp.asarray(TF[j]) for j in range(NST)],
+        [jnp.asarray(CTX[j]) for j in range(NST)],
+        [jnp.asarray(VAR[j]) for j in range(NST)],
+        jnp.asarray(pre), jnp.asarray(prevd), jnp.asarray(tp4),
+        jnp.asarray(fm), jnp.asarray(nv), pip)
+
+    tp_planes = jnp.asarray(
+        np.transpose(tp4, (2, 3, 0, 1)).reshape(NST * (NST + 1), D, W))
+    kS, kTF, kCX, kVR, keS, keTF, keCX = chain_step(
+        jnp.asarray(S), jnp.asarray(TF), jnp.asarray(CTX),
+        jnp.asarray(VAR), jnp.asarray(pre), jnp.asarray(prevd),
+        tp_planes, jnp.asarray(fm), jnp.asarray(nv), pip,
+        interpret=True)
+
+    for j in range(NST):
+        np.testing.assert_array_equal(np.asarray(kS[j]), np.asarray(rS[j]))
+        np.testing.assert_array_equal(np.asarray(kTF[j]),
+                                      np.asarray(rTF[j]))
+        np.testing.assert_array_equal(np.asarray(kCX[j]),
+                                      np.asarray(rCX[j]))
+        np.testing.assert_array_equal(np.asarray(kVR[j]),
+                                      np.asarray(rVR[j]))
+    np.testing.assert_array_equal(np.asarray(keS), np.asarray(reS))
+    np.testing.assert_array_equal(np.asarray(keTF), np.asarray(reTF))
+    np.testing.assert_array_equal(np.asarray(keCX), np.asarray(reCX))
