@@ -134,6 +134,8 @@ def bench_wer20k(ref, here, fe):
                      np.float32)
     for i, f in enumerate(per_utt):
         feats[i, :len(f)] = f
+    # warm-up decode compiles the scan for this shape; time steady state
+    out = dec.decode_batch(feats, np.array(nfr))
     t0 = time.time()
     out = dec.decode_batch(feats, np.array(nfr))
     dt = time.time() - t0
