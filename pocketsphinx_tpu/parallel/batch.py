@@ -159,6 +159,16 @@ class BatchDecodePipeline:
                 NamedSharding(self.mesh,
                               P(*([None] * (arrays["w_lin"].ndim - 1)
                                   + ["model"]))))
+            # ...and the Gaussian tables on the codebook axis (SURVEY
+            # §2.3 TP row: "Gaussian codebooks shard on the codebook
+            # axis"), when it divides evenly (en-us: 42 codebooks)
+            if arrays["prec"].shape[0] % tp == 0:
+                for k in ("prec", "muprec", "const"):
+                    a = arrays[k]
+                    arrays[k] = jax.device_put(
+                        a, NamedSharding(
+                            self.mesh,
+                            P(*["model"] + [None] * (a.ndim - 1))))
         cost_spec = NamedSharding(self.mesh, P("data", None, None))
         n_sen = self.search.am.scoring_arrays["w_lin"].shape[-1]
 
