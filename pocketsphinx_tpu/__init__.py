@@ -48,3 +48,24 @@ def _select_device():
 
 _enable_compilation_cache()
 _select_device()
+
+
+def __getattr__(name):
+    """Lazy top-level API (parity with `from pocketsphinx import ...`,
+    cython/pocketsphinx/__init__.py exports) without importing jax at
+    package-import time."""
+    if name in ("Decoder", "Config", "Hypothesis", "Segment"):
+        from . import decoder as _d
+        from .config import Config as _C
+        return {"Decoder": _d.Decoder, "Config": _C,
+                "Hypothesis": _d.Hypothesis, "Segment": _d.Segment}[name]
+    if name in ("Pocketsphinx", "AudioFile", "LiveSpeech", "Segmenter"):
+        from . import compat as _c
+        return getattr(_c, name)
+    if name == "Endpointer":
+        from .vad.endpointer import Endpointer as _E
+        return _E
+    if name == "Vad":
+        from .vad.vad import Vad as _V
+        return _V
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -35,6 +35,9 @@ BATCH_PARAMS = {
     "hypseg": (str, None, "Recognition output with segmentation file name"),
     "outlatdir": (str, None, "Directory for dumping word lattices"),
     "batchsize": (int, 16, "Device batch size for batched decoding"),
+    "mllrctl": (str, None, "Control file listing MLLR file to use for each utterance"),
+    "mllrdir": (str, None, "Base directory for MLLR files"),
+    "mllrext": (str, None, "File extension for MLLR files"),
 }
 
 PARAMS.update(BATCH_PARAMS)
@@ -77,9 +80,23 @@ def _main(argv=None):
     dec = Decoder(config)
     utts = [l.strip().split()[0] for l in open(config["ctl"])
             if l.strip()]
+    # Per-speaker MLLR: -mllrctl lists one transform name per -ctl line
+    # (programs/pocketsphinx_batch.c process_mllrctl_line); consecutive
+    # identical names form one speaker group.
+    mllr_names = None
+    if config["mllrctl"]:
+        mllr_names = [l.strip() for l in open(config["mllrctl"])
+                      if l.strip()]
+        if len(mllr_names) != len(utts):
+            sys.stderr.write("ERROR: File size mismatch between control "
+                             "and MLLR control\n")
+            return 1
     off = config["ctloffset"]
     cnt = config["ctlcount"]
     utts = utts[off:off + cnt] if cnt >= 0 else utts[off:]
+    if mllr_names is not None:
+        mllr_names = (mllr_names[off:off + cnt] if cnt >= 0
+                      else mllr_names[off:])
 
     hyp_f = open(config["hyp"], "w") if config["hyp"] else sys.stdout
     hypseg_f = open(config["hypseg"], "w") if config["hypseg"] else None
@@ -99,30 +116,49 @@ def _main(argv=None):
             agc=config["agc"], varnorm=config["varnorm"])
         feats_list.append(feats)
 
-    results = []
-    records = []                # per-utterance decoder records (for lattices)
-    if can_batch and len(utts) > 1:
-        B = config["batchsize"]
-        order = sorted(range(len(utts)), key=lambda i: len(feats_list[i]))
-        results = [None] * len(utts)
-        records = [None] * len(utts)
-        for i0 in range(0, len(order), B):
-            idx = order[i0:i0 + B]
-            Tmax = max(len(feats_list[i]) for i in idx)
-            shape = feats_list[idx[0]].shape[1:]
-            fb = np.zeros((len(idx), Tmax) + shape, np.float32)
-            nf = np.zeros(len(idx), np.int32)
-            for k, i in enumerate(idx):
-                fb[k, :len(feats_list[i])] = feats_list[i]
-                nf[k] = len(feats_list[i])
-            out = search.decode_batch(fb, nf)
-            for k, i in enumerate(idx):
-                results[i] = out[k]
-                records[i] = search.batch_records[k]
+    results = [None] * len(utts)
+    records = [None] * len(utts)    # per-utterance records (for lattices)
+
+    def decode_group(members):
+        if can_batch and len(members) > 1:
+            B = config["batchsize"]
+            order = sorted(members, key=lambda i: len(feats_list[i]))
+            for i0 in range(0, len(order), B):
+                idx = order[i0:i0 + B]
+                Tmax = max(len(feats_list[i]) for i in idx)
+                shape = feats_list[idx[0]].shape[1:]
+                fb = np.zeros((len(idx), Tmax) + shape, np.float32)
+                nf = np.zeros(len(idx), np.int32)
+                for k, i in enumerate(idx):
+                    fb[k, :len(feats_list[i])] = feats_list[i]
+                    nf[k] = len(feats_list[i])
+                out = search.decode_batch(fb, nf)
+                for k, i in enumerate(idx):
+                    results[i] = out[k]
+                    records[i] = search.batch_records[k]
+        else:
+            for i in members:
+                results[i] = search.decode(feats_list[i])
+                records[i] = getattr(search, "records", None)
+
+    if mllr_names is None:
+        decode_group(list(range(len(utts))))
     else:
-        for i, feats in enumerate(feats_list):
-            results.append(search.decode(feats))
-            records.append(getattr(search, "records", None))
+        g0 = 0
+        while g0 < len(utts):
+            g1 = g0
+            while g1 < len(utts) and mllr_names[g1] == mllr_names[g0]:
+                g1 += 1
+            name = mllr_names[g0]
+            path = name
+            if config["mllrdir"]:
+                path = f"{config['mllrdir']}/{name}"
+            if config["mllrext"]:
+                path = path + config["mllrext"]
+            dec.update_mllr(path)
+            sys.stderr.write(f"INFO: Using MLLR: {name}\n")
+            decode_group(list(range(g0, g1)))
+            g0 = g1
 
     outlatdir = config["outlatdir"]
     for uttid, (hyp, segs), recs in zip(utts, results, records):

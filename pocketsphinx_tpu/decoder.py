@@ -65,6 +65,23 @@ class Decoder:
         config.expand_model_config()
         mode = config.validate_search_mode()
 
+        # The dense TPU search evaluates every state every frame; the
+        # reference's pruning knobs are accepted for config
+        # compatibility but have NO effect here (the top-K word-exit
+        # shortlist is the only prune, with a runtime exactness guard).
+        # Warn when a user sets one so reference-divergent expectations
+        # are explicit rather than silent (round-3 review, missing #4).
+        _inert = ("beam", "wbeam", "pbeam", "lpbeam", "lponlybeam",
+                  "fwdflatbeam", "fwdflatwbeam", "maxhmmpf", "maxwpf",
+                  "pl_window", "pl_beam", "pl_pbeam", "pl_weight")
+        _set = [p for p in _inert if config.is_user_set(p)]
+        if _set:
+            import sys
+            sys.stderr.write(
+                "WARNING: parameters have no effect in the dense "
+                "(unpruned) TPU search and are ignored: "
+                + " ".join("-" + p for p in _set) + "\n")
+
         hmm = config["hmm"]
         if not hmm:
             raise ValueError("No acoustic model directory (-hmm) given")
@@ -276,12 +293,31 @@ class Decoder:
 
     def update_mllr(self, mllr_or_path):
         """ps_update_mllr: apply an MLLR transform to the loaded
-        Gaussians and refresh the scoring tables."""
+        Gaussians and refresh the scoring tables.
+
+        Like the reference (gauden_mllr_transform, src/ms_gauden.c:512,
+        which frees and re-reads the means before transforming), each
+        call applies to the PRISTINE model, not cumulatively: the
+        original parameters are cached on first use and restored before
+        every transform, so per-speaker batch decoding (-mllrctl) can
+        switch transforms.  Pass None to just restore the original
+        model."""
         from .models.mllr import Mllr
+        g = self.am.gauden
+        if not hasattr(g, "_pristine"):
+            g._pristine = (g.means.copy(), g.var.copy())
+        else:
+            g.means[...] = g._pristine[0]
+            g.var[...] = g._pristine[1]
         mllr = mllr_or_path
+        if mllr_or_path is None:
+            from .logmath import default_logmath
+            g.precompute(default_logmath(), self.config["varfloor"])
+            self.am.__dict__.pop("scoring_arrays", None)
+            return None
         if isinstance(mllr_or_path, str):
             mllr = Mllr.read(mllr_or_path)
-        mllr.transform(self.am.gauden, varfloor=self.config["varfloor"])
+        mllr.transform(g, varfloor=self.config["varfloor"])
         self.am.__dict__.pop("scoring_arrays", None)
         return mllr
 
@@ -485,6 +521,16 @@ class Decoder:
                                "forget to specify a language model or "
                                "grammar?")
         search = self._searches[self._active]
+        if (costs is None and feats is not None
+                and self.config["ds"] > 1
+                and hasattr(search, "decode")):
+            # honor -ds (frame GMM downsampling, src/ptm_mgau.c:241-243)
+            # by scoring here and passing costs through the search seam
+            from .models.acoustic import senone_scores_jax
+            costs = senone_scores_jax(
+                self.am.scoring_arrays, self.am.cb_groups,
+                np.asarray(feats)[None].astype(np.float32),
+                ds=self.config["ds"])[0]
         from .search.align import Aligner
         if isinstance(search, Aligner):
             words, phones, states = search.align(feats,

@@ -139,9 +139,16 @@ class AcousticModel:
 
 
 def senone_scores_jax(model_arrays: dict, cb_groups: dict, feats,
-                      topn: int = 4, time_chunk: int | None = None):
+                      topn: int = 4, time_chunk: int | None = None,
+                      ds: int = 1):
     """Batched senone scoring: feats [B, T, F, L] float32 ->
     costs [B, T, n_sen] float32 (shifted units, 0 = per-frame best).
+
+    ds > 1: frame GMM downsampling (the reference's -ds speed knob,
+    src/ptm_mgau.c:241-243 "if (frame % s->ds_ratio) return"): only
+    every ds-th frame is scored and its scores are held for the
+    following ds-1 frames.  On TPU this divides the scoring matmul
+    FLOPs by ds.
 
     time_chunk: process T in chunks of this many frames (lax.map) to
     bound the [B, chunk, CB, F, Smax] mixture intermediate — required
@@ -161,6 +168,14 @@ def senone_scores_jax(model_arrays: dict, cb_groups: dict, feats,
     """
     import jax
     import jax.numpy as jnp
+
+    if ds > 1:
+        feats = jnp.asarray(feats)
+        T = feats.shape[1]
+        out = senone_scores_jax(model_arrays, cb_groups,
+                                feats[:, ::ds], topn=topn,
+                                time_chunk=time_chunk)
+        return jnp.repeat(out, ds, axis=1)[:, :T]
 
     if time_chunk:
         feats = jnp.asarray(feats)

@@ -88,6 +88,31 @@ class _Chain:
         return self.w_hi - self.w_lo
 
 
+class _LazyBatchRecords:
+    """List-like view of per-utterance adapted records that transfers
+    and joins a batch's raw device records only for the utterances a
+    consumer (outlatdir, tests) actually indexes."""
+
+    def __init__(self, dec, raw_dev, nf):
+        self._dec = dec
+        self._raw = raw_dev      # tuple of [B, T, ...] device arrays
+        self._nf = nf
+        self._cache = {}
+
+    def __len__(self):
+        return len(self._nf)
+
+    def __getitem__(self, b):
+        if b not in self._cache:
+            per_utt = tuple(np.asarray(r[b]) for r in self._raw)
+            self._cache[b] = self._dec.adapt_records(
+                per_utt, int(self._nf[b]))
+        return self._cache[b]
+
+    def __iter__(self):
+        return (self[b] for b in range(len(self)))
+
+
 class NgramFusedDecoder:
     """Exact-trigram full-vocabulary Viterbi with a gather-free scan."""
 
@@ -160,6 +185,7 @@ class NgramFusedDecoder:
 
     def _build(self):
         self._scan_fn = None
+        self._bt_fn = None
         self._lm_rows = None
         self.lm_mode = None
         d, mdef, d2p = self.dict, self.mdef, self.d2p
@@ -1065,7 +1091,105 @@ class NgramFusedDecoder:
         self._scan_fn = run
         return self._scan_fn
 
+    # -- device backtrace ----------------------------------------------------
+
+    def _make_backtrace_jax(self):
+        """Jitted on-device 1-best backtrace over the RAW scan records.
+
+        The round-2 design transferred every per-frame record array to
+        the host before walking the path — ~0.5 GB per utterance at 20k
+        words, the dominant cost of a hyp-only decode through the
+        tunneled TPU (round-3 'wer20k.throughput' gap).  The walk is a
+        `lax.while_loop` of at most one step per word segment doing two
+        scalar gathers per step: the (frame, word) -> (entry frame,
+        entry target) join that `adapt_records` materializes densely is
+        evaluated lazily only along the best path.  Only a [T, 3] i32
+        segment table leaves the device.  Segment semantics match
+        NgramFlatDecoder._backtrace / native/ps_native.c backtrace
+        exactly (src/ngram_search.c bptbl walk)."""
+        if getattr(self, "_bt_fn", None) is not None:
+            return self._bt_fn
+        import jax
+        import jax.numpy as jnp
+
+        finish = self.finish_idx if self.finish_idx is not None else -1
+
+        @jax.jit
+        def bt(escore, etf, etgt, eprw, nf):
+            T = escore.shape[0]
+            last = escore[nf - 1]
+            w0 = jnp.argmax(last).astype(jnp.int32)
+            if finish >= 0:
+                w0 = jnp.where(last[finish] > NEG_INF / 2,
+                               jnp.int32(finish), w0)
+            out0 = jnp.full((T, 3), -1, jnp.int32)
+
+            def cond(st):
+                t, w, i, done, out = st
+                return (~done) & (i < T)
+
+            def body(st):
+                t, w, i, done, out = st
+                s = etf[t, w]
+                tg = etgt[t, w]
+                p = jnp.where(s > 0, eprw[jnp.maximum(s - 1, 0), tg],
+                              jnp.int32(-1))
+                out = out.at[i].set(jnp.stack([w, s, t]))
+                done = (s <= 0) | (p < 0)
+                return (s - 1, p, i + 1, done, out)
+
+            t0 = (nf - 1).astype(jnp.int32)
+            _, _, n, _, out = jax.lax.while_loop(
+                cond, body, (t0, w0, jnp.int32(0), jnp.bool_(False), out0))
+            return out, n
+
+        self._bt_fn = bt
+        return bt
+
+    def _segs_from_table(self, table, n):
+        """[n, 3] (word, start, end) rows (reverse order) -> (hyp, segs)."""
+        segs = []
+        for i in range(int(n) - 1, -1, -1):
+            wi, s, t = (int(x) for x in table[i])
+            segs.append(Seg(word=self.dict.wordstr(self.words[wi]),
+                            start=s, end=t))
+        out = []
+        for s in segs:
+            wid = self.dict.wordid(s.word)
+            if wid < 0 or self.dict.is_filler(wid):
+                continue
+            out.append(self.dict.basestr(wid))
+        return " ".join(out), segs
+
     # -- records adapter -----------------------------------------------------
+
+    @property
+    def records(self):
+        """Adapted per-frame records (escore, estf, eprw, eascr, eh1,
+        eh2, ectx).  Computed lazily: the dense [T, W]/[T, E] arrays
+        only leave the device when a consumer (lattice, bestpath,
+        tests) actually asks."""
+        r = self._records
+        if callable(r):
+            r = r()
+            self._records = r
+        return r
+
+    @records.setter
+    def records(self, value):
+        self._records = value
+
+    @property
+    def raw_records(self):
+        r = self._raw_records
+        if callable(r):
+            r = r()
+            self._raw_records = r
+        return r
+
+    @raw_records.setter
+    def raw_records(self, value):
+        self._raw_records = value
 
     def adapt_records(self, raw, T):
         """Join raw scan records into the round-2 flat-record format
@@ -1102,9 +1226,13 @@ class NgramFusedDecoder:
         costs = jnp.asarray(costs)
         T = costs.shape[0]
         raw = self._make_scan()(costs, jnp.ones(T, bool))
-        self.raw_records = tuple(np.asarray(r) for r in raw)
-        self.records = self.adapt_records(self.raw_records, T)
-        return self._backtrace(self.records, T)
+        self.raw_records = lambda: tuple(np.asarray(r) for r in raw)
+        self.records = lambda: self.adapt_records(self.raw_records, T)
+        # 1-best path entirely on device; records transfer only if a
+        # lattice/bestpath consumer touches .records afterwards
+        table, n = self._make_backtrace_jax()(
+            raw[0], raw[1], raw[2], raw[5], jnp.int32(T))
+        return self._segs_from_table(np.asarray(table), int(n))
 
     def decode_batch(self, feats, n_frames):
         import jax
@@ -1118,16 +1246,14 @@ class NgramFusedDecoder:
                                   self.am.cb_groups, feats)
         valid = jnp.arange(T)[None, :] < n_frames[:, None]
         raw = jax.vmap(self._make_scan())(costs, valid)
-        raw = tuple(np.asarray(r) for r in raw)
-        out = []
         nf = np.asarray(n_frames)
-        self.batch_records = []
-        for b in range(B):
-            adapted = self.adapt_records(tuple(r[b] for r in raw),
-                                         int(nf[b]))
-            self.batch_records.append(adapted)
-            out.append(self._backtrace(adapted, int(nf[b])))
-        return out
+        tables, ns = jax.vmap(self._make_backtrace_jax())(
+            raw[0], raw[1], raw[2], raw[5], n_frames.astype(jnp.int32))
+        tables = np.asarray(tables)
+        ns = np.asarray(ns)
+        self.batch_records = _LazyBatchRecords(self, raw, nf)
+        return [self._segs_from_table(tables[b], int(ns[b]))
+                for b in range(B)]
 
     def _backtrace(self, recs, T):
         if len(recs) == 9:       # raw records (e.g. parallel pipeline)
