@@ -560,6 +560,32 @@ class NgramFusedDecoder:
                 bgmeta[:, 3] = tgcn[:-1]
                 bgmeta[:, 4] = (tgcn[1:] - tgcn[:-1])
             dev_tables["bgmeta"] = bgmeta
+        # Top-K guard bound (round-3 review next #5): maxb_np[e] = max
+        # over ALL LM contexts of column e's weighted successor score.
+        # An exit excluded by the top-K shortlist scores <= kv[K-1], so
+        # its best possible entry into column e is bounded by
+        # kv[K-1] + maxb + wpen (fillers: kv[K-1] + fillpen).  Each
+        # frame the scan counts columns where that bound beats BOTH the
+        # kept entry and the incumbent first-state score — a nonzero
+        # count means top-K exactness is unproven for the utterance
+        # (the reference's wbeam, ngram_search_fwdtree.c:1130, is the
+        # analogous *undeclared* approximation).  Unoccupied
+        # class-exclusive single-phone columns are guarded only once
+        # occupied (documented limitation).
+        if mode_rows:
+            maxb_np = rows_np[:, :self.nE].max(axis=0)
+        else:
+            sp_ = self._lm_sparse
+            maxb_np = sp_["bg"].max(axis=0).astype(np.float64)
+            if sp_["n_bg"]:
+                maxb_np = maxb_np + max(float(sp_["bo2w"].max()), 0.0)
+                n_tg = int(sp_["tgc_next"][-1])
+                if n_tg:
+                    tgmax = np.full(self.nE, -np.inf)
+                    np.maximum.at(tgmax, sp_["tg_cols"][:n_tg],
+                                  sp_["tg_vals"][:n_tg].astype(np.float64))
+                    maxb_np = np.maximum(maxb_np, tgmax)
+        maxb_E = jnp.asarray(maxb_np.astype(np.float32))
         accept_E = jnp.asarray(self.accept_E)            # [E, n_ciph]
         isfill_E = jnp.asarray(self.isfill_E)
         fillpen_E = jnp.asarray(self.fillpen_E)
@@ -932,14 +958,27 @@ class NgramFusedDecoder:
                     + (accm - 1.0) * jnp.float32(1e30) \
                     + jnp.where(kv[:, None] > NEG_INF / 2, 0.0,
                                 jnp.float32(NEG_INF))
-                entry, (prw_e, ctxsel, srcctx, srcrw1, srcrw2, fb_e) = \
-                    argmax_payload(
-                        cand, [ki[:, None].astype(jnp.float32),
-                               ctxrow,
-                               ctx_k[:, None].astype(jnp.float32),
-                               rw1_k[:, None].astype(jnp.float32),
-                               rw2_k[:, None].astype(jnp.float32),
-                               fb_k[:, None].astype(jnp.float32)])
+                # First-winner payload select via ONE argmax + a [K, E]
+                # one-hot: the generic argmax_payload would re-read the
+                # 47 MB (at 20k words) `cand` array once per payload;
+                # here the five per-K payloads ride a single [E, K] x
+                # [K, 5] exact one-hot f32 matmul and only `ctxrow`
+                # needs a masked-sum pass (xprof: loop-fusion share cut).
+                entry = jnp.max(cand, axis=0)
+                am = jnp.argmax(cand, axis=0)               # [E]
+                U = (jax.lax.broadcasted_iota(jnp.int32, (K, nE), 0)
+                     == am[None]).astype(jnp.float32)       # [K, E]
+                pays_k = jnp.stack(
+                    [ki.astype(jnp.float32),
+                     ctx_k.astype(jnp.float32),
+                     rw1_k.astype(jnp.float32),
+                     rw2_k.astype(jnp.float32),
+                     fb_k.astype(jnp.float32)], axis=1)     # [K, 5]
+                sel = jnp.einsum("ke,kp->ep", U, pays_k,
+                                 precision=HI)              # [E, 5]
+                prw_e, srcctx, srcrw1, srcrw2, fb_e = \
+                    (sel[:, i] for i in range(5))
+                ctxsel = jnp.sum(U * ctxrow, axis=0)        # [E]
                 ctx_new = jnp.where(isfill_E, srcctx, ctxsel).astype(jnp.int32)
                 erw1 = jnp.where(isreal_E, lmwid_E, srcrw1).astype(jnp.int32)
                 # filler tokens inherit the source's full history; real words
@@ -960,11 +999,14 @@ class NgramFusedDecoder:
                 tf_new = (t + 1).astype(jnp.int32)
 
                 # ---------- apply entries ----------
+                inc_segs = []          # pre-entry first-state incumbents
                 off = 0
                 for bi, ch in enumerate(self.chains):
                     e = newc["ch"][bi]
                     ent = entry[off:off + ch.Wb]
                     fm = ch_fm[bi]
+                    inc_segs.append(jnp.sum(
+                        jnp.where(fm, e["S"][0], 0.0), axis=0))
                     cand0 = jnp.where(fm, ent[None, :], NEG_INF)
                     win = cand0 > e["S"][0]
                     e["S"] = (jnp.where(win, cand0, e["S"][0]),) + e["S"][1:]
@@ -980,6 +1022,7 @@ class NgramFusedDecoder:
                 if SP:
                     ent = entry[n_multi:n_multi + SP]
                     e = sp_new
+                    inc_segs.append(jnp.min(e["S"][0], axis=0))
                     win = ent[None, :] > e["S"][0]
                     e["S"] = (jnp.where(win, ent[None, :], e["S"][0]),) \
                         + e["S"][1:]
@@ -993,6 +1036,8 @@ class NgramFusedDecoder:
                     e = newc["ci"][bi]
                     ent = entry[off:off + ch.Wb]
                     fm = ci_fm[bi]
+                    inc_segs.append(jnp.sum(
+                        jnp.where(fm, e["S"][0], 0.0), axis=0))
                     cand0 = jnp.where(fm, ent[None, :], NEG_INF)
                     win = cand0 > e["S"][0]
                     e["S"] = (jnp.where(win, cand0, e["S"][0]),) + e["S"][1:]
@@ -1007,6 +1052,18 @@ class NgramFusedDecoder:
                 else:
                     newc["fin"] = None
                 newc["sp"] = sp_new
+
+                # ---------- top-K exactness guard ----------
+                if K < W:
+                    inc_E = jnp.concatenate(inc_segs)
+                    bound = kv[K - 1] + jnp.where(
+                        isfill_E, fillpen_E, maxb_E + wpen)
+                    best_alt = jnp.maximum(entry, inc_E)
+                    nviol = jnp.sum(((bound > best_alt)
+                                     & (best_alt > NEG_INF / 2)
+                                     & valid).astype(jnp.int32))
+                else:
+                    nviol = jnp.int32(0)
 
                 # ---------- renormalize ----------
                 def all_s(c):
@@ -1032,7 +1089,8 @@ class NgramFusedDecoder:
                 newc = jax.tree.map(
                     lambda new, old: jnp.where(valid, new, old), newc, carry)
                 rec = (escore, etf_w, etgt_w, ecx_w,
-                       entry, prw_e.astype(jnp.int32), erw1, erw2, m)
+                       entry, prw_e.astype(jnp.int32), erw1, erw2, m,
+                       nviol)
                 return newc, rec
 
             return step
@@ -1196,7 +1254,7 @@ class NgramFusedDecoder:
         (escore, estf, eprw, eascr, eh1, eh2, ectx) [T, W] consumed by
         the lattice layer, backtrace, and tests."""
         escore, etf, etgt, ectx, entv, eprw, erw1, erw2, m = \
-            [np.asarray(r)[:T] for r in raw]
+            [np.asarray(r)[:T] for r in raw[:9]]
         Tn = escore.shape[0]
         Mcp = np.concatenate([[0.0], np.cumsum(m)])  # Mcp[t] = sum m[<t]
         tf = etf.astype(np.int64)
@@ -1228,6 +1286,8 @@ class NgramFusedDecoder:
         raw = self._make_scan()(costs, jnp.ones(T, bool))
         self.raw_records = lambda: tuple(np.asarray(r) for r in raw)
         self.records = lambda: self.adapt_records(self.raw_records, T)
+        # top-K exactness guard count ([T] i32, tiny transfer)
+        self.guard_violations = int(np.asarray(raw[9])[:T].sum())
         # 1-best path entirely on device; records transfer only if a
         # lattice/bestpath consumer touches .records afterwards
         table, n = self._make_backtrace_jax()(
@@ -1251,12 +1311,16 @@ class NgramFusedDecoder:
             raw[0], raw[1], raw[2], raw[5], n_frames.astype(jnp.int32))
         tables = np.asarray(tables)
         ns = np.asarray(ns)
+        viol = np.asarray(raw[9])
+        self.guard_violations_batch = [
+            int(viol[b, :nf[b]].sum()) for b in range(B)]
+        self.guard_violations = int(sum(self.guard_violations_batch))
         self.batch_records = _LazyBatchRecords(self, raw, nf)
         return [self._segs_from_table(tables[b], int(ns[b]))
                 for b in range(B)]
 
     def _backtrace(self, recs, T):
-        if len(recs) == 9:       # raw records (e.g. parallel pipeline)
+        if len(recs) >= 9:       # raw records (e.g. parallel pipeline)
             recs = self.adapt_records(recs, T)
         from .ngram_flat import NgramFlatDecoder
         return NgramFlatDecoder._backtrace(self, recs, T)

@@ -1,0 +1,87 @@
+"""Top-K word-exit shortlist: runtime exactness guard + record-level
+invariance (round-3 review next #5).
+
+The top-K shortlist is the decoder's only prune (the analog of the
+reference's wbeam word-exit prune, src/ngram_search_fwdtree.c:1130,
+which is itself an undeclared approximation).  The scan now counts, per
+frame, entry columns whose kept entry/incumbent could in principle be
+beaten by an excluded exit (kv[K-1] + per-column max LM bonus): a sound
+upper bound, so
+
+  * guard == 0  =>  the decode is PROVABLY identical to unpruned;
+  * guard  > 0  =>  exactness is unproven for that many column-frames
+                    (the shortlist remains empirically validated by the
+                    record comparison below).
+
+K >= W disables the prune and must report 0.  A forced-small K must be
+detected with a much larger count.
+"""
+
+import numpy as np
+import pytest
+
+from pocketsphinx_tpu.models.acoustic import AcousticModel
+from pocketsphinx_tpu.models.dict2pid import Dict2Pid
+from pocketsphinx_tpu.fileio.dictionary import Dictionary
+from pocketsphinx_tpu.frontend.mfcc import MelFrontend
+from pocketsphinx_tpu.frontend.feat import compute_feats
+from pocketsphinx_tpu.lm.ngram import read_lm
+from pocketsphinx_tpu.search.ngram_fused import NgramFusedDecoder
+
+from conftest import DATADIR, EN_US, require_model
+
+
+@pytest.fixture(scope="module")
+def setup():
+    require_model()
+    am = AcousticModel.load(str(EN_US))
+    d = Dictionary(am.mdef, str(DATADIR / "turtle.dic"),
+                   str(EN_US / "noisedict"))
+    d2p = Dict2Pid(am.mdef, d)
+    lm = read_lm(str(DATADIR / "turtle.lm.bin"), lw=6.5, wip=0.65)
+    fe = MelFrontend(nfilt=25, lowerf=130, upperf=6800, transform="dct",
+                     lifter_val=22, remove_noise=True)
+    pcm = np.frombuffer((DATADIR / "goforward.raw").read_bytes(),
+                        dtype="<i2")
+    feats = compute_feats(fe.process(pcm), cmn="batch")
+    return am, d2p, lm, feats
+
+
+_cache = {}
+
+
+def _decode(K, setup):
+    if K not in _cache:
+        am, d2p, lm, feats = setup
+        dec = NgramFusedDecoder(am, d2p, lm, topk=K)
+        hyp, _ = dec.decode(feats)
+        recs = [np.asarray(r) for r in dec.raw_records]
+        _cache[K] = (dec.guard_violations, hyp, recs)
+    return _cache[K]
+
+
+def test_guard_zero_when_unpruned(setup):
+    viol, hyp, _ = _decode(1000, setup)    # K >= W: no prune
+    assert hyp == "go forward ten meters"
+    assert viol == 0
+
+
+def test_guard_detects_forced_small_k(setup):
+    viol96, _, _ = _decode(96, setup)
+    viol2, _, _ = _decode(2, setup)
+    # at the production K the unproven count is small but nonzero
+    # (sound bound, see module docstring); a forced K=2 must explode it
+    assert viol2 > 10 * max(viol96, 1)
+
+
+def test_records_invariant_at_default_k(setup):
+    """Empirical record-level invariance behind the guard: at K=96 the
+    exit-record stream (escore/etf/etgt/ecx/m) — everything backtrace,
+    lattice links and hyp derive their structure from — is bit-equal to
+    the unpruned decode on this task."""
+    _, hyp96, recs96 = _decode(96, setup)
+    _, hypW, recsW = _decode(1000, setup)
+    assert hyp96 == hypW
+    for i, name in zip((0, 1, 2, 3, 8),
+                       ("escore", "etf", "etgt", "ecx", "m")):
+        assert np.array_equal(recs96[i], recsW[i]), name
