@@ -26,6 +26,7 @@ BASELINE.json) delivered by this single chip on the headline config.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -46,103 +47,146 @@ def build(ref, dic, lmfile, lw=6.5, wip=0.65):
     return NgramFusedDecoder(am, d2p, lm)
 
 
-def bench_config(dec, fe, pcm, B, n_iter, measure_stages=False):
+def bench_config(dec, fe, pcms, B, n_iter, measure_stages=False,
+                 tile=False):
+    """Full-pipeline (PCM -> hyp records) throughput.
+
+    pcms: list of distinct utterances, length-bucketed into batches of
+    B and padded per bucket (round-3 review weak #3: no more decoding
+    one tiled utterance — padding waste is paid and reported).  With
+    tile=True the first pcm is replicated to B (kept for the turtle
+    scan-kernel non-regression config only)."""
     import jax
     import jax.numpy as jnp
     from pocketsphinx_tpu.models.acoustic import senone_scores_jax
     from pocketsphinx_tpu.frontend.feat import compute_feats_jax
 
-    batch = np.tile(pcm[None, :], (B, 1)).astype(np.float32)
-    audio_seconds = B * len(pcm) / 16000.0
+    if tile:
+        pcms = [pcms[0]] * B
+    order = sorted(range(len(pcms)), key=lambda i: len(pcms[i]))
+    batches = []
+    audio_seconds = 0.0
+    padded_seconds = 0.0
+    for i0 in range(0, len(order), B):
+        idx = order[i0:i0 + B]
+        maxlen = max(len(pcms[i]) for i in idx)
+        pb = np.zeros((len(idx), maxlen), np.float32)
+        ns = np.zeros(len(idx), np.int32)
+        for k, i in enumerate(idx):
+            pb[k, :len(pcms[i])] = pcms[i]
+            ns[k] = len(pcms[i])
+        batches.append((jnp.asarray(pb), jnp.asarray(ns)))
+        audio_seconds += sum(len(pcms[i]) for i in idx) / 16000.0
+        padded_seconds += len(idx) * maxlen / 16000.0
     arrays = dec.am.scoring_arrays
     groups = dec.am.cb_groups
     scan = dec._make_scan()
 
     @jax.jit
-    def stage_fe(pcm_batch):
-        cep, nfr = fe.process_batch_jax(pcm_batch)
+    def stage_fe(pcm_batch, n_samps):
+        cep, nfr = fe.process_batch_jax(pcm_batch, n_samps)
         return compute_feats_jax(cep, nfr, cmn="batch"), nfr
 
     @jax.jit
-    def stage_score(pcm_batch):
-        feats, nfr = stage_fe(pcm_batch)
+    def stage_score(pcm_batch, n_samps):
+        feats, nfr = stage_fe(pcm_batch, n_samps)
         return senone_scores_jax(arrays, groups, feats,
                                  time_chunk=16), nfr
 
     @jax.jit
-    def pipeline(pcm_batch):
-        costs, nfr = stage_score(pcm_batch)
+    def pipeline(pcm_batch, n_samps):
+        costs, nfr = stage_score(pcm_batch, n_samps)
         T = costs.shape[1]
         valid = jnp.arange(T)[None, :] < nfr[:, None]
         recs = jax.vmap(scan)(costs, valid)
         return recs[0]
 
-    def timeit(fn, arg):
-        out = fn(arg)
-        jax.tree.map(lambda x: x.block_until_ready(), out)
+    def sync(x):
+        jax.tree.map(lambda a: a.block_until_ready(), x)
+
+    def timeit(fn, args_list):
+        for a in args_list:
+            sync(fn(*a))
         t0 = time.time()
         for _ in range(n_iter):
-            out = fn(arg)
-        jax.tree.map(lambda x: x.block_until_ready(), out)
+            for a in args_list:
+                out = fn(*a)
+            sync(out)
         return (time.time() - t0) / n_iter
 
-    dt = timeit(pipeline, batch)
+    dt = timeit(pipeline, batches)
     res = {"throughput": audio_seconds / dt, "sec_per_batch": dt,
-           "batch": B}
+           "batch": B, "n_utts": len(pcms),
+           "padding_efficiency": round(audio_seconds / padded_seconds, 3)}
     if measure_stages:
-        t_fe = timeit(stage_fe, batch)
-        t_sc = timeit(stage_score, batch)
+        big = [max(batches, key=lambda b: b[0].size)]
+        t_fe = timeit(stage_fe, big)
+        t_sc = timeit(stage_score, big)
+        t_pl = timeit(pipeline, big)
         res["stage_share"] = {
-            "frontend": round(t_fe / dt, 3),
-            "scoring": round(max(t_sc - t_fe, 0.0) / dt, 3),
-            "scan": round(max(dt - t_sc, 0.0) / dt, 3),
+            "frontend": round(t_fe / t_pl, 3),
+            "scoring": round(max(t_sc - t_fe, 0.0) / t_pl, 3),
+            "scan": round(max(t_pl - t_sc, 0.0) / t_pl, 3),
         }
     # correctness spot check through the batched decode path
-    feats = np.asarray(stage_fe(batch[:1])[0][0])
-    out = dec.decode_batch(feats[None], np.array([fe.n_frames(len(pcm))]))
+    pcm0 = pcms[0]
+    feats = np.asarray(stage_fe(jnp.asarray(pcm0[None]).astype(np.float32),
+                                jnp.asarray([len(pcm0)]))[0][0])
+    out = dec.decode_batch(feats[None], np.array([fe.n_frames(len(pcm0))]))
     res["hyp"] = out[0][0]
     return res
 
 
 def bench_wer20k(ref, here, fe):
-    """Decode the librivox corpus + goforward with the 20k-word task;
-    return WER + throughput + the reference binary's WER on the same
-    task (from the committed golden)."""
-    import glob
+    """Decode the >=1000-word evaluation corpus (evalcorpus.py: 23
+    length-diverse utterances, 392.6 audio-s) with the 20k-word task;
+    return WER + throughput + the reference binary's WER on the SAME
+    corpus (committed golden from tools/make_wer20k_golden.py)."""
     import json as _json
     import time
     import numpy as np
+    from pocketsphinx_tpu.evalcorpus import build_corpus
     from pocketsphinx_tpu.frontend.feat import compute_feats
-    from pocketsphinx_tpu.fileio.sound import read_audio
     from pocketsphinx_tpu.wer import wer
 
     dec = build(ref, os.path.join(here, "bench_data/bench-20k.dic"),
                 os.path.join(here, "bench_data/bench-20k.lm.bin"))
-    clips = []
-    for p in sorted(glob.glob(ref + "/test/data/librivox/*.wav")):
-        pcm, sr = read_audio(p)
-        assert sr == 16000
-        txt = open(p[:-4] + ".txt").read().split()
-        clips.append((pcm, txt))
-    pcm = np.frombuffer(open(ref + "/test/data/goforward.raw",
-                             "rb").read(), dtype="<i2")
-    clips.append((pcm, "go forward ten meters".split()))
+    corpus = build_corpus(ref)
     per_utt = [compute_feats(fe.process(p), cmn="batch")
-               for p, _ in clips]
-    nfr = [len(f) for f in per_utt]
-    feats = np.zeros((len(clips), max(nfr)) + per_utt[0].shape[1:],
-                     np.float32)
-    for i, f in enumerate(per_utt):
-        feats[i, :len(f)] = f
-    # warm-up decode compiles the scan for this shape; time steady state
-    out = dec.decode_batch(feats, np.array(nfr))
+               for _, p, _ in corpus]
+    audio_s = sum(len(p) for _, p, _ in corpus) / 16000.0
+    B = int(os.environ.get("BENCH_BATCH_WER", "8"))
+
+    guard_total = [0]
+
+    def run_all():
+        """Length-bucketed batched decode (pads per batch, like
+        cli_batch); returns hyps in corpus order."""
+        order = sorted(range(len(per_utt)), key=lambda i: len(per_utt[i]))
+        hyps = [None] * len(per_utt)
+        guard_total[0] = 0
+        for i0 in range(0, len(order), B):
+            idx = order[i0:i0 + B]
+            Tmax = max(len(per_utt[i]) for i in idx)
+            fb = np.zeros((len(idx), Tmax) + per_utt[0].shape[1:],
+                          np.float32)
+            nf = np.zeros(len(idx), np.int32)
+            for k, i in enumerate(idx):
+                fb[k, :len(per_utt[i])] = per_utt[i]
+                nf[k] = len(per_utt[i])
+            out = dec.decode_batch(fb, nf)
+            guard_total[0] += dec.guard_violations
+            dec.batch_records = None     # release device records
+            for k, i in enumerate(idx):
+                hyps[i] = out[k][0]
+        return hyps
+
+    run_all()                       # warm-up compiles per bucket shape
     t0 = time.time()
-    out = dec.decode_batch(feats, np.array(nfr))
+    hyps = run_all()
     dt = time.time() - t0
-    audio_s = sum(len(p) for p, _ in clips) / 16000.0
-    refs = [t for _, t in clips]
-    hyps = [h.split() for h, _ in out]
-    ours = wer(refs, hyps)
+    refs = [t for _, _, t in corpus]
+    ours = wer(refs, [h.split() for h in hyps])
     golden = os.path.join(here, "tests/golden/wer20k/ref.json")
     ref_wer = None
     if os.path.exists(golden):
@@ -154,9 +198,33 @@ def bench_wer20k(ref, here, fe):
         "ref_binary_wer": (round(ref_wer, 4)
                            if ref_wer is not None else None),
         "n_ref_words": ours["n_ref"],
+        "n_utts": len(corpus),
+        "guard_unproven": guard_total[0],
         "throughput": round(audio_s / dt, 2),
         "audio_s": round(audio_s, 1),
     }
+
+
+def bench_135k(here):
+    """Decode goforward under the 135k-word full-cmudict task (mode C
+    sparse LM) in a SUBPROCESS with a hard timeout, so a slow compile
+    can never take down the whole bench.  Run FIRST, before this
+    process touches the TPU (one TPU process at a time)."""
+    import subprocess
+    try:
+        out = subprocess.run(
+            ["timeout", os.environ.get("BENCH_135K_TIMEOUT", "1500"),
+             sys.executable, "-u",
+             os.path.join(here, "tools/decode135k.py")],
+            capture_output=True, text=True)
+        for line in reversed(out.stdout.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        return {"error": ("timeout" if out.returncode == 124 else
+                          (out.stderr[-200:] or "no output"))}
+    except Exception as e:
+        return {"error": repr(e)[:200]}
 
 
 def main():
@@ -170,28 +238,39 @@ def main():
                           "vs_baseline": 0.0, "error": "model missing"}))
         return
 
+    # 135k-word task first: subprocess owns the TPU until it exits
+    dec135k = None
+    if not os.environ.get("BENCH_SKIP_135K") \
+            and os.path.exists(os.path.join(
+                here, "bench_data/bench-135k.lm.bin")):
+        dec135k = bench_135k(here)
+
     from pocketsphinx_tpu.frontend.mfcc import MelFrontend
+    from pocketsphinx_tpu.evalcorpus import build_corpus
 
     fe = MelFrontend(nfilt=25, lowerf=130, upperf=6800, transform="dct",
                      lifter_val=22, remove_noise=True)
     pcm = np.frombuffer(open(raw, "rb").read(), dtype="<i2")
-    n_iter = int(os.environ.get("BENCH_ITERS", "5"))
+    n_iter = int(os.environ.get("BENCH_ITERS", "3"))
+    corpus_pcms = [p for _, p, _ in build_corpus(ref)]
 
-    # headline: 1.7k-word vocabulary
+    # headline: 1.7k-word vocabulary over the 23-utt length-diverse
+    # corpus (round-3 review weak #3: distinct utterances, real padding)
     dec_big = build(ref, os.path.join(here, "bench_data/bench-1.7k.dic"),
                     os.path.join(here, "bench_data/bench-1.7k.lm.bin"))
-    big = bench_config(dec_big, fe, pcm,
-                       B=int(os.environ.get("BENCH_BATCH_BIG", "48")),
+    big = bench_config(dec_big, fe, corpus_pcms,
+                       B=int(os.environ.get("BENCH_BATCH_BIG", "8")),
                        n_iter=n_iter, measure_stages=True)
     big["W"] = dec_big.W
     big["P"] = dec_big.P
 
-    # non-regression: turtle 91-word config
+    # non-regression: turtle 91-word config, goforward x512 (explicitly
+    # a tiled scan-kernel benchmark, directly comparable to rounds 1-3)
     dec_sm = build(ref, os.path.join(ref, "test/data/turtle.dic"),
                    os.path.join(ref, "test/data/turtle.lm.bin"))
-    small = bench_config(dec_sm, fe, pcm,
+    small = bench_config(dec_sm, fe, [pcm],
                          B=int(os.environ.get("BENCH_BATCH", "512")),
-                         n_iter=n_iter)
+                         n_iter=n_iter, tile=True)
     small["W"] = dec_sm.W
 
     wer20k = None
@@ -208,12 +287,14 @@ def main():
         "unit": "audio-seconds/s",
         "vs_baseline": round(value / 100.0, 3),
         "detail": {
-            "headline": "1.7k-word exact-trigram decode",
+            "headline": "1.7k-word exact-trigram corpus decode "
+                        "(23 distinct utts)",
             "large": {k: (round(v, 4) if isinstance(v, float) else v)
                       for k, v in big.items()},
             "turtle": {k: (round(v, 4) if isinstance(v, float) else v)
                        for k, v in small.items()},
             "wer20k": wer20k,
+            "decode135k": dec135k,
         },
     }))
 

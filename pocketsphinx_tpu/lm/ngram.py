@@ -329,6 +329,49 @@ class NgramModel:
         out += np.float32(self.log_wip)
         return out
 
+    def bigram_csr(self, cols: np.ndarray, skip: np.ndarray | None = None):
+        """Per-history sparse bigram successor lists for the fully-sparse
+        "mode C" decoder LM path (135k-word scale, where even the dense
+        [V+1, C] bigram table of mode B is O(V*C) ~ 75 GB;
+        src/lm/lm_trie.c:400-414 contract at O(n_bigrams) memory).
+
+        Returns (bg_next [V+2] int64 CSR ranges, bg_cols int32 output
+        columns, bg_vals f32 weighted explicit bigram scores, bg_ctx
+        f32 successor context ids 1+V+b): for history h, entries
+        bg_next[h]:bg_next[h+1] override the unigram-backoff base row
+        uni[c] + bo1w[h].  Entries are expanded per duplicate output
+        column (alternate pronunciations); columns with skip True
+        (fillers) are excluded.  Row V (empty history) is empty."""
+        V = self.counts[0]
+        cols = np.asarray(cols, dtype=np.int64)
+        n_bg = self.counts[1] if self.order >= 2 else 0
+        if not n_bg:
+            return (np.zeros(V + 2, np.int64), np.zeros(0, np.int32),
+                    np.zeros(0, np.float32), np.zeros(0, np.float32))
+        w1 = self.lv_words[1].astype(np.int64)
+        p1 = (self.lv_prob[1].astype(np.float32) * np.float32(self.lw)
+              + np.float32(self.log_wip))
+        par1 = self._parents(1)
+        # map LM word -> output columns (duplicates for alternates)
+        keep = np.ones(len(cols), bool) if skip is None else ~np.asarray(skip)
+        kidx = np.nonzero(keep)[0]
+        order = np.argsort(cols[kidx], kind="stable")
+        skey = cols[kidx][order]
+        beg = np.searchsorted(skey, w1)
+        end = np.searchsorted(skey, w1, side="right")
+        cnt = end - beg
+        tot = int(cnt.sum())
+        base = np.repeat(beg, cnt)
+        within = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        bg_cols = kidx[order[base + within]].astype(np.int32)
+        bg_vals = np.repeat(p1, cnt).astype(np.float32)
+        bg_ctx = np.repeat(1 + V + np.arange(n_bg), cnt).astype(np.float32)
+        bg_par = np.repeat(par1, cnt)
+        bg_next = np.zeros(V + 2, np.int64)
+        np.add.at(bg_next, bg_par + 1, 1)
+        bg_next = np.cumsum(bg_next)
+        return bg_next, bg_cols, bg_vals, bg_ctx
+
     def trigram_corrections(self, cols: np.ndarray):
         """Per-bigram-context sparse trigram overrides for mode B.
 

@@ -202,13 +202,26 @@ class NgramFusedDecoder:
             t = tmat_tp[mdef.phone_tmat[ci]].astype(np.float32)
             return np.where(t == 255, NEG_INF, -t)
 
-        # resolve depth buckets: empty tuple = one bucket per class
+        # resolve depth buckets: empty tuple = automatic.  Small W: one
+        # bucket per class (TPU step cost is kernel-count-bound, see
+        # _depth_buckets note below).  Large W: the chain tensors get
+        # element-count-bound instead — a single bucket pads every word
+        # to the longest chain (~3x waste at 20k cmudict words), so
+        # quantile buckets of the length distribution win (measured
+        # -14%/step at 20k with 4 buckets).
         self._depth_buckets = self.depth_buckets
         if not self._depth_buckets:
             need = [len(d.pron(w)) - 1 for w in self.words[:n_multi]] \
                 + [len(d.pron(w))
                    for w in self.words[n_multi + n_single:]]
-            self._depth_buckets = (max(need) if need else 1,)
+            if not need:
+                self._depth_buckets = (1,)
+            elif n_multi <= 4000:
+                self._depth_buckets = (max(need),)
+            else:
+                qs = np.quantile(np.array(need), [0.4, 0.75, 0.92, 1.0])
+                self._depth_buckets = tuple(sorted(
+                    {int(q) for q in qs} | {max(need)}))
 
         # occurring right contexts: word-initial phones + SIL
         rc_set = sorted({p[0] for p in prons} | {sil})
@@ -446,6 +459,22 @@ class NgramFusedDecoder:
         cols_E = self.col_lm[self.e2w]
         n_bg = lm.counts[1] if lm.order >= 2 else 0
         R = 1 + V + n_bg
+        force = os.environ.get("PS_LM_MODE")
+        sparse_budget = int(os.environ.get("PS_LM_SPARSE_BYTES", 6 << 30))
+        if force == "rows":
+            pass
+        elif force == "csr" or (force != "sparse"
+                                and lm.order >= 3 and n_bg
+                                and R * self.nE * 4 > budget
+                                and 2 * (V + 1) * self.nE * 4
+                                > sparse_budget):
+            # mode C (reference scale): FULLY sparse — even mode B's
+            # dense [V+1, E] bigram + context tables are O(V*E) ~ 75 GB
+            # at 135k words.  Base row = unigram + history backoff;
+            # explicit bigrams/contexts overlay via per-history CSR
+            # scatters in-scan; histories with giant fanout (<s>) get
+            # dense "fat" rows; trigram corrections as in mode B.
+            return self._lm_tables_csr(cols_E)
         if lm.order < 3 or n_bg == 0 or R * self.nE * 4 <= budget:
             # mode A: one dense successor row per history class
             self.lm_mode = "rows"
@@ -506,6 +535,88 @@ class NgramFusedDecoder:
         self._ctx2h1, self._ctx2h2 = ctx2h1, ctx2h2
         return rows, ctx_next, ctx2h1, ctx2h2
 
+    FAT_CAP = 1024       # CSR rows longer than this densify ("fat" rows)
+
+    def _lm_tables_csr(self, cols_E):
+        """Mode C host tables: fully-sparse exact-trigram LM path.
+
+        Per entry column e the base successor score under history h is
+        uni_row[e] + bo1w[h]; explicit bigrams overlay via a CSR scatter
+        (bg_next/bg_cols/bg_vals), successor LM contexts likewise
+        (1 + cols_E base, bg_ctx overlay); histories whose expanded row
+        exceeds FAT_CAP (sentence-start <s> reaches ~V successors) get
+        precomputed dense rows instead.  Trigram corrections and
+        per-context metadata are identical to mode B."""
+        lm, V = self.lm, self.V
+        n_bg = lm.counts[1]
+        self.lm_mode = "csr"
+        uni = (lm.lv_prob[0][:V].astype(np.float64) * lm.lw
+               + lm.log_wip).astype(np.float32)
+        bo1w = np.zeros(V + 1, np.float32)
+        bo1w[:V] = lm.lv_bo[0][:V].astype(np.float64) * lm.lw
+        uni_row = uni[cols_E] / SHIFT
+        uni_row[self.isfill_E] = 0.0
+        bo1w = bo1w / SHIFT
+        bg_next, bg_cols, bg_vals, bg_ctx = lm.bigram_csr(
+            cols_E, skip=self.isfill_E)
+        bg_vals = bg_vals / SHIFT
+        rlen = bg_next[1:] - bg_next[:-1]                 # [V+1]
+        fat_hs = np.nonzero(rlen > self.FAT_CAP)[0]
+        n_fat = len(fat_hs)
+        fat_rows = np.zeros((max(n_fat, 1), self.nE), np.float32)
+        fat_ctx = np.zeros((max(n_fat, 1), self.nE), np.float32)
+        ctx_base = (1 + cols_E).astype(np.float32)
+        for i, h in enumerate(fat_hs):
+            row = (uni_row + bo1w[h]).astype(np.float32)
+            crow = ctx_base.copy()
+            lo, hi = int(bg_next[h]), int(bg_next[h + 1])
+            row[bg_cols[lo:hi]] = bg_vals[lo:hi]
+            crow[bg_cols[lo:hi]] = bg_ctx[lo:hi]
+            fat_rows[i] = row
+            fat_ctx[i] = crow
+        fat_of = np.full(V + 1, -1, np.int32)
+        fat_of[fat_hs] = np.arange(n_fat)
+        # non-fat rows padded to SB for in-scan dynamic slices; fat rows
+        # point start at 0/len 0
+        SB = int(rlen[rlen <= self.FAT_CAP].max()) if len(rlen) else 0
+        keepmask = np.repeat(rlen <= self.FAT_CAP, rlen)
+        bg_cols_k = bg_cols[keepmask]
+        bg_vals_k = bg_vals[keepmask]
+        bg_ctx_k = bg_ctx[keepmask]
+        rlen_k = np.where(rlen <= self.FAT_CAP, rlen, 0)
+        start_k = np.concatenate([[0], np.cumsum(rlen_k)[:-1]])
+        umeta = np.zeros((V + 1, 4), np.int32)
+        umeta[:, 0] = start_k
+        umeta[:, 1] = rlen_k
+        umeta[:, 2] = bo1w.astype(np.float32).view(np.int32)
+        umeta[:, 3] = fat_of
+        tgc_next, tg_cols, tg_vals, bo2w = lm.trigram_corrections(cols_E)
+        S_max = int(np.max(tgc_next[1:] - tgc_next[:-1])) if n_bg else 0
+        self._lm_sparse = dict(
+            csr=True, uni_row=uni_row, umeta=umeta,
+            bg_cols=np.concatenate([bg_cols_k,
+                                    np.zeros(SB, np.int32)]),
+            bg_vals=np.concatenate([bg_vals_k,
+                                    np.zeros(SB, np.float32)]),
+            bg_ctx=np.concatenate([bg_ctx_k, np.zeros(SB, np.float32)]),
+            SB=SB, fat_rows=fat_rows, fat_ctx=fat_ctx, n_fat=n_fat,
+            ctx_base=ctx_base,
+            tgc_next=tgc_next.astype(np.int32),
+            tg_cols=np.concatenate([tg_cols, np.zeros(S_max, np.int32)]),
+            tg_vals=np.concatenate([tg_vals / SHIFT,
+                                    np.zeros(S_max, np.float32)]),
+            bo2w=bo2w / SHIFT, S_max=S_max, n_bg=n_bg)
+        self.lm_order_used = 3 if len(tg_cols) else 2
+        ho, hn = lm.bigram_entries()
+        ctx2h1 = np.full(1 + V + n_bg, V, np.int32)
+        ctx2h1[1:1 + V] = np.arange(V)
+        ctx2h1[1 + V:] = hn
+        ctx2h2 = np.full(1 + V + n_bg, V, np.int32)
+        ctx2h2[1 + V:] = ho
+        self._lm_rows, self._ctx_next = None, None
+        self._ctx2h1, self._ctx2h2 = ctx2h1, ctx2h2
+        return None, None, ctx2h1, ctx2h2
+
     # -- the scan ------------------------------------------------------------
 
     def _make_scan(self):
@@ -523,8 +634,8 @@ class NgramFusedDecoder:
         K = min(self.topk, W)
         n_ciph = self.mdef.n_ciphone
         rows_np, ctxn_np, ctx2h1_np, ctx2h2_np = self._lm_tables()
-        assert self.V < (1 << 15), "history packing needs V < 32768"
         mode_rows = self.lm_mode == "rows"
+        mode_csr = self.lm_mode == "csr"
         # h1/h2 (and mode-B trigram metadata) ride along the row fetches
         # instead of separate per-K element gathers: inside the scan an
         # element gather costs ~latency per index (x B x K per step,
@@ -535,19 +646,33 @@ class NgramFusedDecoder:
         # rather than captured constants.  Inside the scan body the
         # names rows_tab / bg_tab / ctx_next below refer to traced
         # values bound by scan_fn.
-        dev_tables = {"ctx_next": ctxn_np}
+        dev_tables = {}
+        if not mode_csr:
+            dev_tables["ctx_next"] = ctxn_np
         if mode_rows:
-            # rows + [h1, h2] as two appended f32 columns (exact: < 2^15)
+            # rows + [h1, h2] as two appended f32 columns (exact < 2^24)
             dev_tables["rows"] = np.concatenate(
                 [rows_np, ctx2h1_np[:, None].astype(np.float32),
                  ctx2h2_np[:, None].astype(np.float32)], axis=1)
         else:
             sp = self._lm_sparse
-            dev_tables["bg"] = sp["bg"]                  # [V+1, E] f32
             tgc_j = jnp.asarray(sp["tg_cols"])
             tgv_j = jnp.asarray(sp["tg_vals"])
             S_TRI = sp["S_max"]
             N_BG = sp["n_bg"]
+            if mode_csr:
+                dev_tables["uni_row"] = sp["uni_row"]      # [E] f32
+                dev_tables["umeta"] = sp["umeta"]          # [V+1, 4] i32
+                dev_tables["fat_rows"] = sp["fat_rows"]    # [n_fat, E]
+                dev_tables["fat_ctx"] = sp["fat_ctx"]
+                dev_tables["ctx_base"] = sp["ctx_base"]    # [E] f32
+                bgc_j = jnp.asarray(sp["bg_cols"])
+                bgv_j = jnp.asarray(sp["bg_vals"])
+                bgx_j = jnp.asarray(sp["bg_ctx"])
+                SB_CSR = sp["SB"]
+                N_FAT = sp["n_fat"]
+            else:
+                dev_tables["bg"] = sp["bg"]                # [V+1, E] f32
             # per-bigram-context metadata rows [n_bg, 8] i32:
             # (h1, h2, bo2w bits, tgc_start, tgc_count, pad...)
             nbg1 = max(N_BG, 1)
@@ -576,7 +701,22 @@ class NgramFusedDecoder:
             maxb_np = rows_np[:, :self.nE].max(axis=0)
         else:
             sp_ = self._lm_sparse
-            maxb_np = sp_["bg"].max(axis=0).astype(np.float64)
+            if mode_csr:
+                um = sp_["umeta"]
+                bo1w_all = um[:, 2].view(np.float32).astype(np.float64)
+                maxb_np = sp_["uni_row"].astype(np.float64) \
+                    + float(bo1w_all.max())
+                nbgx = len(sp_["bg_cols"]) - sp_["SB"]
+                if nbgx:
+                    bgmx = np.full(self.nE, -np.inf)
+                    np.maximum.at(bgmx, sp_["bg_cols"][:nbgx],
+                                  sp_["bg_vals"][:nbgx].astype(np.float64))
+                    maxb_np = np.maximum(maxb_np, bgmx)
+                if sp_["n_fat"]:
+                    maxb_np = np.maximum(
+                        maxb_np, sp_["fat_rows"].max(axis=0))
+            else:
+                maxb_np = sp_["bg"].max(axis=0).astype(np.float64)
             if sp_["n_bg"]:
                 maxb_np = maxb_np + max(float(sp_["bo2w"].max()), 0.0)
                 n_tg = int(sp_["tgc_next"][-1])
@@ -722,7 +862,12 @@ class NgramFusedDecoder:
             rows_tab = tables.get("rows")
             bg_tab = tables.get("bg")
             bgmeta_tab = tables.get("bgmeta")
-            ctx_next = tables["ctx_next"]
+            ctx_next = tables.get("ctx_next")
+            uni_tab = tables.get("uni_row")
+            umeta_tab = tables.get("umeta")
+            fat_tab = tables.get("fat_rows")
+            fatctx_tab = tables.get("fat_ctx")
+            ctxbase_tab = tables.get("ctx_base")
 
             def step(carry, xs):
                 g, t, valid = xs            # g: [N_flat] gathered senone costs
@@ -926,8 +1071,62 @@ class NgramFusedDecoder:
                     bo2w_v = jax.lax.bitcast_convert_type(
                         meta[:, 2], jnp.float32)
                     h1c = jnp.minimum(rw1_k, self.V)
-                    base = jax.vmap(lambda i: jax.lax.dynamic_slice_in_dim(
-                        bg_tab, i, 1, 0)[0])(h1c)                    # [K, E]
+                    if mode_csr:
+                        # mode C: base = unigram row + history backoff,
+                        # explicit bigrams and successor contexts overlay
+                        # via the per-history CSR slices; giant-fanout
+                        # histories (<s>) use precomputed dense rows.
+                        um = jax.vmap(
+                            lambda i: jax.lax.dynamic_slice_in_dim(
+                                umeta_tab, i, 1, 0)[0])(h1c)     # [K, 4]
+                        bo1w_k = jax.lax.bitcast_convert_type(
+                            um[:, 2], jnp.float32)
+                        base = uni_tab[None, :] + bo1w_k[:, None]
+                        ctxrow = jnp.broadcast_to(ctxbase_tab[None, :],
+                                                  (K, nE))
+                        if SB_CSR:
+                            bstart, bcnt, bfat = (um[:, 0], um[:, 1],
+                                                  um[:, 3])
+                            wcB = jax.vmap(
+                                lambda s: jax.lax.dynamic_slice_in_dim(
+                                    bgc_j, s, SB_CSR))(bstart)
+                            wvB = jax.vmap(
+                                lambda s: jax.lax.dynamic_slice_in_dim(
+                                    bgv_j, s, SB_CSR))(bstart)
+                            wxB = jax.vmap(
+                                lambda s: jax.lax.dynamic_slice_in_dim(
+                                    bgx_j, s, SB_CSR))(bstart)
+                            posB = jax.lax.broadcasted_iota(
+                                jnp.int32, (K, SB_CSR), 1)
+                            okB = posB < bcnt[:, None]
+                            idxB = jnp.where(okB, wcB, nE)
+                            rsel = jnp.arange(K)[:, None]
+                            base = jnp.concatenate(
+                                [base, jnp.zeros((K, 1), jnp.float32)],
+                                axis=1).at[rsel, idxB].set(
+                                jnp.where(okB, wvB, 0.0),
+                                mode="drop")[:, :nE]
+                            ctxrow = jnp.concatenate(
+                                [ctxrow, jnp.zeros((K, 1), jnp.float32)],
+                                axis=1).at[rsel, idxB].set(
+                                jnp.where(okB, wxB, 0.0),
+                                mode="drop")[:, :nE]
+                        if N_FAT:
+                            isfat = um[:, 3] >= 0
+                            fidx = jnp.clip(um[:, 3], 0, N_FAT - 1)
+                            fr = jax.vmap(
+                                lambda i: jax.lax.dynamic_slice_in_dim(
+                                    fat_tab, i, 1, 0)[0])(fidx)
+                            fx = jax.vmap(
+                                lambda i: jax.lax.dynamic_slice_in_dim(
+                                    fatctx_tab, i, 1, 0)[0])(fidx)
+                            base = jnp.where(isfat[:, None], fr, base)
+                            ctxrow = jnp.where(isfat[:, None], fx,
+                                               ctxrow)
+                    else:
+                        base = jax.vmap(
+                            lambda i: jax.lax.dynamic_slice_in_dim(
+                                bg_tab, i, 1, 0)[0])(h1c)        # [K, E]
                     lmrow = base + jnp.where(is_tri, bo2w_v,
                                              0.0)[:, None]
                     if S_TRI:
@@ -946,8 +1145,11 @@ class NgramFusedDecoder:
                         lmrow = lmp.at[
                             jnp.arange(K)[:, None], idx].set(
                             jnp.where(ok, wv, 0.0), mode="drop")[:, :nE]
-                ctxrow = jax.vmap(lambda i: jax.lax.dynamic_slice_in_dim(
-                    ctx_next, i, 1, 0)[0])(jnp.maximum(rw1_k, 0))    # [K, E]
+                if not mode_csr:
+                    ctxrow = jax.vmap(
+                        lambda i: jax.lax.dynamic_slice_in_dim(
+                            ctx_next, i, 1, 0)[0])(
+                        jnp.maximum(rw1_k, 0))                   # [K, E]
                 fb_oh = (fb_k[:, None] ==
                          jnp.arange(n_ciph)[None, :]).astype(jnp.float32)
                 accm = jnp.einsum("kc,ec->ke", fb_oh, accept_E,
