@@ -145,6 +145,28 @@ class BatchDecodePipeline:
         arrays = dict(self.search.am.scoring_arrays)
         groups = self.search.am.cb_groups
         fe = self.fe
+        if tp > 1 and getattr(self.search, "_dev_tables", None):
+            # TP for the tables that actually get big (round-3 review
+            # weak #8): the LM row/bigram/context tables are the only
+            # GB-scale arrays of the n-gram decoder (dense context rows
+            # reach chip HBM at 20k+ words).  Shard their entry-column
+            # (E) axis across "model": the per-K dynamic-slice row
+            # fetches and the [K, E] candidate/argmax block partition
+            # on E (the einsum structure composes), XLA inserting the
+            # gather/reduce collectives.  Small metadata tables stay
+            # replicated.
+            sharded = {}
+            for k, v in self.search._dev_tables.items():
+                if k in ("rows", "bg", "ctx_next", "fat_rows",
+                         "fat_ctx") and v.ndim == 2:
+                    spec = P(None, "model")
+                elif k in ("uni_row", "ctx_base"):
+                    spec = P("model")
+                else:
+                    spec = P()
+                sharded[k] = jax.device_put(
+                    np.asarray(v), NamedSharding(self.mesh, spec))
+            self.search._dev_tables = sharded
         if tp > 1:
             # TP: shard the mixture-weight table on the senone axis; the
             # per-frame senone cost vector is gathered back to "data"-only

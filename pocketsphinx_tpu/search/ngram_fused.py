@@ -656,8 +656,8 @@ class NgramFusedDecoder:
                  ctx2h2_np[:, None].astype(np.float32)], axis=1)
         else:
             sp = self._lm_sparse
-            tgc_j = jnp.asarray(sp["tg_cols"])
-            tgv_j = jnp.asarray(sp["tg_vals"])
+            dev_tables["tg_cols"] = sp["tg_cols"]
+            dev_tables["tg_vals"] = sp["tg_vals"]
             S_TRI = sp["S_max"]
             N_BG = sp["n_bg"]
             if mode_csr:
@@ -666,9 +666,9 @@ class NgramFusedDecoder:
                 dev_tables["fat_rows"] = sp["fat_rows"]    # [n_fat, E]
                 dev_tables["fat_ctx"] = sp["fat_ctx"]
                 dev_tables["ctx_base"] = sp["ctx_base"]    # [E] f32
-                bgc_j = jnp.asarray(sp["bg_cols"])
-                bgv_j = jnp.asarray(sp["bg_vals"])
-                bgx_j = jnp.asarray(sp["bg_ctx"])
+                dev_tables["bg_cols"] = sp["bg_cols"]
+                dev_tables["bg_vals"] = sp["bg_vals"]
+                dev_tables["bg_ctx"] = sp["bg_ctx"]
                 SB_CSR = sp["SB"]
                 N_FAT = sp["n_fat"]
             else:
@@ -725,16 +725,24 @@ class NgramFusedDecoder:
                     np.maximum.at(tgmax, sp_["tg_cols"][:n_tg],
                                   sp_["tg_vals"][:n_tg].astype(np.float64))
                     maxb_np = np.maximum(maxb_np, tgmax)
-        maxb_E = jnp.asarray(maxb_np.astype(np.float32))
-        accept_E = jnp.asarray(self.accept_E)            # [E, n_ciph]
-        isfill_E = jnp.asarray(self.isfill_E)
-        fillpen_E = jnp.asarray(self.fillpen_E)
-        lmwid_E = jnp.asarray(self.lmwid_E.astype(np.float32))
-        isreal_E = jnp.asarray(~self.isfill_E)
-        f0_onehot = jnp.asarray(
-            (self.f0p_E[:, None] == np.arange(n_rc)[None, :])
-            .astype(np.float32))                         # [E, n_rc]
-        lc_cls_f = jnp.asarray(self.lc_cls.astype(np.float32))  # [Wm, n_ciph]
+        # Every W/E-proportional structural array below goes through
+        # dev_tables as a jit ARGUMENT, not a captured constant: at
+        # 135k words the tp/one-hot/senone-id constants alone exceed
+        # the remote compile service's program size limit (HTTP 413),
+        # and constants also bloat lowering time (observed 3.28 GB
+        # captures -> tens of minutes).
+        dev_tables["maxb_E"] = maxb_np.astype(np.float32)
+        dev_tables["accept_E"] = self.accept_E           # [E, n_ciph]
+        dev_tables["isfill_E"] = self.isfill_E
+        dev_tables["fillpen_E"] = self.fillpen_E
+        dev_tables["lmwid_E"] = self.lmwid_E.astype(np.float32)
+        dev_tables["isreal_E"] = ~self.isfill_E
+        dev_tables["f0_onehot"] = (
+            self.f0p_E[:, None] == np.arange(n_rc)[None, :]
+        ).astype(np.float32)                             # [E, n_rc]
+        dev_tables["lc_cls_T"] = self.lc_cls.T.astype(np.int32).copy()
+        dev_tables["etgt0"] = self.etgt0.astype(np.int32)
+        dev_tables["fb_ci"] = self.fb_ci.astype(np.float32)
         wpen = np.float32(self.nwpen + self.pip)
         pip = np.float32(self.pip)
 
@@ -749,24 +757,31 @@ class NgramFusedDecoder:
 
         si_ch = [add_seg(ch.senid) for ch in self.chains]
         si_fv = [add_seg(ch.senid_first_d) for ch in self.chains]
-        fd_oh = [jnp.asarray(ch.fd_onehot) for ch in self.chains]
         si_fin = add_seg(self.senid_fin_d) if n_multi else None
-        lp_oh = jnp.asarray(self.lp_onehot) if n_multi else None
         si_sp = add_seg(self.senid_sp[:, :, :SP]) if SP else None
         si_ci = [add_seg(ch.senid) for ch in self.ci_chains]
         senid_all = np.concatenate(seg_ids) if seg_ids else np.zeros(0, int)
         seg_off = np.concatenate([[0], np.cumsum(
             [np.prod(s) for s in seg_shapes])]).astype(np.int64)
-        senid_all_j = jnp.asarray(senid_all.astype(np.int32))
+        dev_tables["senid_all"] = senid_all.astype(np.int32)
 
         def seg_of(g, i):
             lo, hi = int(seg_off[i]), int(seg_off[i + 1])
             return g[lo:hi].reshape(seg_shapes[i])
 
-        ch_tp = [jnp.asarray(ch.tp) for ch in self.chains]
-        ch_fm = [jnp.asarray(ch.firstmask) for ch in self.chains]
-        ci_tp = [jnp.asarray(ch.tp) for ch in self.ci_chains]
-        ci_fm = [jnp.asarray(ch.firstmask) for ch in self.ci_chains]
+        for bi, ch in enumerate(self.chains):
+            dev_tables[f"fd_oh{bi}"] = ch.fd_onehot
+            dev_tables[f"ch_tp{bi}"] = ch.tp
+            dev_tables[f"ch_fm{bi}"] = ch.firstmask
+            dev_tables[f"ch_nv{bi}"] = ch.n_var.astype(np.int32)
+        for bi, ch in enumerate(self.ci_chains):
+            dev_tables[f"ci_tp{bi}"] = ch.tp
+            dev_tables[f"ci_fm{bi}"] = ch.firstmask
+        if n_multi:
+            dev_tables["lp_oh"] = self.lp_onehot
+            dev_tables["tp_fin"] = self.tp_fin[:n_multi]
+        if SP:
+            dev_tables["tp_sp"] = self.tp_sp[:SP]
         # Pallas fused chain kernel (ops/pallas_chain.py): one kernel
         # per bucket instead of ~35 fused XLA kernels.  PS_PALLAS=1
         # enables; interpret mode keeps CPU tests exact.
@@ -786,8 +801,6 @@ class NgramFusedDecoder:
 
             ch_tpp = [tp_planes(ch.tp) for ch in self.chains]
             ci_tpp = [tp_planes(ch.tp) for ch in self.ci_chains]
-        tp_fin = jnp.asarray(self.tp_fin[:n_multi]) if n_multi else None
-        tp_sp = jnp.asarray(self.tp_sp[:SP]) if SP else None
         CH = self.CHUNK
 
         def tens3(shape, val=BIG_NEG, dtype=np.float32):
@@ -868,6 +881,29 @@ class NgramFusedDecoder:
             fat_tab = tables.get("fat_rows")
             fatctx_tab = tables.get("fat_ctx")
             ctxbase_tab = tables.get("ctx_base")
+            tgc_j = tables.get("tg_cols")
+            tgv_j = tables.get("tg_vals")
+            bgc_j = tables.get("bg_cols")
+            bgv_j = tables.get("bg_vals")
+            bgx_j = tables.get("bg_ctx")
+            maxb_E = tables["maxb_E"]
+            accept_E = tables["accept_E"]
+            isfill_E = tables["isfill_E"]
+            fillpen_E = tables["fillpen_E"]
+            lmwid_E = tables["lmwid_E"]
+            isreal_E = tables["isreal_E"]
+            f0_onehot = tables["f0_onehot"]
+            fd_oh = [tables[f"fd_oh{b}"] for b in range(len(self.chains))]
+            ch_tp = [tables[f"ch_tp{b}"] for b in range(len(self.chains))]
+            ch_fm = [tables[f"ch_fm{b}"] for b in range(len(self.chains))]
+            ch_nv = [tables[f"ch_nv{b}"] for b in range(len(self.chains))]
+            ci_tp = [tables[f"ci_tp{b}"]
+                     for b in range(len(self.ci_chains))]
+            ci_fm = [tables[f"ci_fm{b}"]
+                     for b in range(len(self.ci_chains))]
+            lp_oh = tables.get("lp_oh")
+            tp_fin = tables.get("tp_fin")
+            tp_sp = tables.get("tp_sp")
 
             def step(carry, xs):
                 g, t, valid = xs            # g: [N_flat] gathered senone costs
@@ -884,7 +920,7 @@ class NgramFusedDecoder:
                     prev = jnp.einsum("jvf,fw->jvw", prev_d, fd_oh[bi],
                                       precision=jax.lax.Precision.HIGHEST)
                     fm = ch_fm[bi]                       # [D, Wb]
-                    nv = jnp.asarray(ch.n_var)
+                    nv = ch_nv[bi]
                     if use_pallas:
                         nS, nTF_, nCX_, nVR_, el, elTF, elCX = _pl_chain(
                             jnp.stack(e["S"]), jnp.stack(e["TF"]),
@@ -1029,7 +1065,7 @@ class NgramFusedDecoder:
                 escore = jnp.concatenate([esc_m, esc_s, esc_c])      # [W]
                 etf_w = jnp.concatenate([etf_m, etf_s, etf_c])
                 ecx_w = jnp.concatenate([ecx_m, ecx_s, ecx_c])
-                etgt_w = jnp.asarray(self.etgt0.astype(np.int32))
+                etgt_w = tables["etgt0"]
                 if SP:
                     etgt_w = jnp.concatenate([
                         etgt_w[:n_multi], etg_s, etgt_w[n_multi + self.n_single:]])
@@ -1040,7 +1076,7 @@ class NgramFusedDecoder:
                 # per-K payloads via exact f32 matmul (values < 2^24)
                 HI = jax.lax.Precision.HIGHEST
                 pay = jnp.stack([ecx_w.astype(jnp.float32),
-                                 jnp.asarray(self.fb_ci.astype(np.float32))],
+                                 tables["fb_ci"]],
                                 axis=1)                              # [W, 2]
                 payk = jnp.einsum("kw,wp->kp", onek, pay, precision=HI)
                 ctx_k = payk[:, 0].astype(jnp.int32)
@@ -1192,7 +1228,7 @@ class NgramFusedDecoder:
                 # source's final base phone: one-hot sum over CI phones
                 if n_multi:
                     fbm = fb_e[:n_multi].astype(jnp.int32)
-                    lccT = jnp.asarray(self.lc_cls.T)        # [n_ciph, Wm]
+                    lccT = tables["lc_cls_T"]                # [n_ciph, Wm]
                     oh = jax.lax.broadcasted_iota(
                         jnp.int32, (n_ciph, n_multi), 0) == fbm[None, :]
                     var_new = jnp.sum(jnp.where(oh, lccT, 0), axis=0)
@@ -1298,7 +1334,6 @@ class NgramFusedDecoder:
             return step
 
         CHp = CH
-        senid_all_len = len(senid_all)
 
         def scan_fn(costs, valid, carry, t0, tables):
             step = make_step(tables)
@@ -1320,7 +1355,7 @@ class NgramFusedDecoder:
                 # intermediate whose (8,128) tile padding overflows HBM
                 # at 20k-word scale (observed: 19 GB for a 900 MB array).
                 cchunk = jax.lax.optimization_barrier(cchunk)
-                g = cchunk[:, senid_all_j]          # [CH, N_flat] pre-gather
+                g = cchunk[:, tables["senid_all"]]  # [CH, N_flat] pre-gather
                 c, ys = jax.lax.scan(step, c, (g, tchunk, vchunk))
                 return c, ys
 

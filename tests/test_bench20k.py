@@ -51,3 +51,42 @@ def test_20k_decode():
     feats = compute_feats(fe.process(pcm), cmn="batch")
     hyp, segs = dec.decode(feats)
     assert hyp == "go forward ten meters"
+
+
+def test_20k_tp_sharded_lm_tables():
+    """TP at realistic scale (round-3 review weak #8): the 20k config's
+    mode-B LM tables — the only GB-scale arrays — shard on the model
+    axis of a dp=4 x tp=2 virtual mesh and the sharded decode must
+    reproduce the unsharded hypothesis."""
+    require_model()
+    import numpy as np
+    from jax.sharding import Mesh
+    import jax
+    from pocketsphinx_tpu.models.acoustic import AcousticModel
+    from pocketsphinx_tpu.models.dict2pid import Dict2Pid
+    from pocketsphinx_tpu.fileio.dictionary import Dictionary
+    from pocketsphinx_tpu.frontend.mfcc import MelFrontend
+    from pocketsphinx_tpu.lm.ngram import read_lm
+    from pocketsphinx_tpu.search.ngram_fused import NgramFusedDecoder
+    from pocketsphinx_tpu.parallel import BatchDecodePipeline
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    am = AcousticModel.load(str(EN_US))
+    d = Dictionary(am.mdef, os.path.join(here, "bench_data/bench-20k.dic"),
+                   str(EN_US / "noisedict"))
+    lm = read_lm(os.path.join(here, "bench_data/bench-20k.lm.bin"),
+                 lw=6.5, wip=0.65)
+    dec = NgramFusedDecoder(am, Dict2Pid(am.mdef, d), lm)
+    fe = MelFrontend(nfilt=25, lowerf=130, upperf=6800, transform="dct",
+                     lifter_val=22, remove_noise=True)
+    pcm = np.frombuffer((DATADIR / "goforward.raw").read_bytes(),
+                        dtype="<i2")
+    from pocketsphinx_tpu.frontend.feat import compute_feats
+    ref_hyp, _ = dec.decode(compute_feats(fe.process(pcm), cmn="batch"))
+    devs = jax.devices("cpu")[:8]
+    mesh = Mesh(np.array(devs).reshape(4, 2), ("data", "model"))
+    pipe = BatchDecodePipeline(dec, fe, mesh=mesh)
+    res = pipe.decode_corpus([pcm] * 4, batch_size=4)
+    assert dec.lm_mode == "sparse"
+    for r in res:
+        assert r[0] == ref_hyp
