@@ -80,7 +80,7 @@ def bench_config(dec, fe, pcms, B, n_iter, measure_stages=False,
         padded_seconds += len(idx) * maxlen / 16000.0
     arrays = dec.am.scoring_arrays
     groups = dec.am.cb_groups
-    scan = dec._make_scan()
+    scan = dec._make_scan(minimal=True)   # hyp-only record stream
 
     @jax.jit
     def stage_fe(pcm_batch, n_samps):
@@ -132,7 +132,8 @@ def bench_config(dec, fe, pcms, B, n_iter, measure_stages=False,
     pcm0 = pcms[0]
     feats = np.asarray(stage_fe(jnp.asarray(pcm0[None]).astype(np.float32),
                                 jnp.asarray([len(pcm0)]))[0][0])
-    out = dec.decode_batch(feats[None], np.array([fe.n_frames(len(pcm0))]))
+    out = dec.decode_batch(feats[None], np.array([fe.n_frames(len(pcm0))]),
+                           keep_records=False)
     res["hyp"] = out[0][0]
     return res
 
@@ -174,9 +175,8 @@ def bench_wer20k(ref, here, fe):
             for k, i in enumerate(idx):
                 fb[k, :len(per_utt[i])] = per_utt[i]
                 nf[k] = len(per_utt[i])
-            out = dec.decode_batch(fb, nf)
+            out = dec.decode_batch(fb, nf, keep_records=False)
             guard_total[0] += dec.guard_violations
-            dec.batch_records = None     # release device records
             for k, i in enumerate(idx):
                 hyps[i] = out[k][0]
         return hyps

@@ -119,6 +119,12 @@ def _main(argv=None):
     results = [None] * len(utts)
     records = [None] * len(utts)    # per-utterance records (for lattices)
 
+    # hyp-only runs (no -outlatdir) use the top-K-compressed record
+    # stream: ~30x less device memory on long-utterance corpora
+    kw = {}
+    if not config["outlatdir"] and hasattr(search, "_make_backtrace_min"):
+        kw = {"keep_records": False}
+
     def decode_group(members):
         if can_batch and len(members) > 1:
             B = config["batchsize"]
@@ -132,10 +138,12 @@ def _main(argv=None):
                 for k, i in enumerate(idx):
                     fb[k, :len(feats_list[i])] = feats_list[i]
                     nf[k] = len(feats_list[i])
-                out = search.decode_batch(fb, nf)
+                out = search.decode_batch(fb, nf, **kw)
                 for k, i in enumerate(idx):
                     results[i] = out[k]
-                    records[i] = search.batch_records[k]
+                    records[i] = (search.batch_records[k]
+                                  if search.batch_records is not None
+                                  else None)
         else:
             for i in members:
                 results[i] = search.decode(feats_list[i])

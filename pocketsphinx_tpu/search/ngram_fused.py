@@ -184,8 +184,9 @@ class NgramFusedDecoder:
         return length_minus
 
     def _build(self):
-        self._scan_fn = None
-        self._bt_fn = None
+        self._scan_fn = {}
+        self._bt_fn = {}
+        self._dev_tables = None
         self._lm_rows = None
         self.lm_mode = None
         d, mdef, d2p = self.dict, self.mdef, self.d2p
@@ -619,9 +620,21 @@ class NgramFusedDecoder:
 
     # -- the scan ------------------------------------------------------------
 
-    def _make_scan(self):
-        if self._scan_fn is not None:
-            return self._scan_fn
+    def _make_scan(self, minimal=False):
+        """Build the jitted per-utterance scan.
+
+        minimal=False: full per-frame records ([T, W] exits + [T, E]
+        entries) — required by the lattice layer / adapt_records.
+        minimal=True: top-K-compressed records for hyp-only decoding —
+        per frame only the top-(K+1) exits (score, word, entry frame,
+        entry target; slot K pins the finish word) plus a [E] uint8
+        winner-rank map.  Exact for the 1-best backtrace because every
+        path predecessor is by construction a top-K exit of its frame
+        (entries source only from the shortlist); ~30x less HBM and
+        record-write traffic (a [T~4400, E] f32 record batch is ~23 GB
+        at 20k words — the round-4 corpus bench OOM)."""
+        if self._scan_fn.get(minimal) is not None:
+            return self._scan_fn[minimal]
         import jax
         import jax.numpy as jnp
         from ..ops.hmm import hmm_step_sm
@@ -1326,9 +1339,33 @@ class NgramFusedDecoder:
                 newc = renorm(newc)
                 newc = jax.tree.map(
                     lambda new, old: jnp.where(valid, new, old), newc, carry)
-                rec = (escore, etf_w, etgt_w, ecx_w,
-                       entry, prw_e.astype(jnp.int32), erw1, erw2, m,
-                       nviol)
+                if minimal:
+                    # top-(K+1) exit records + [E] winner-rank map (see
+                    # _make_scan docstring).  Slot K pins the finish
+                    # word's exit so the final-frame selection can
+                    # prefer </s> exactly like the full backtrace.
+                    fi = (self.finish_idx
+                          if self.finish_idx is not None else 0)
+                    payk2 = jnp.einsum(
+                        "kw,wp->kp", onek,
+                        jnp.stack([etf_w.astype(jnp.float32),
+                                   etgt_w.astype(jnp.float32)], axis=1),
+                        precision=HI)                     # [K, 2]
+                    kv_x = jnp.concatenate([kv, escore[fi][None]])
+                    ki_x = jnp.concatenate(
+                        [ki.astype(jnp.int32), jnp.int32(fi)[None]])
+                    etf_x = jnp.concatenate(
+                        [payk2[:, 0].astype(jnp.int32), etf_w[fi][None]])
+                    etgt_x = jnp.concatenate(
+                        [payk2[:, 1].astype(jnp.int32),
+                         etgt_w[fi][None]])
+                    rank = jnp.where(entry > NEG_INF / 2, am,
+                                     255).astype(jnp.uint8)
+                    rec = (kv_x, ki_x, etf_x, etgt_x, rank, m, nviol)
+                else:
+                    rec = (escore, etf_w, etgt_w, ecx_w,
+                           entry, prw_e.astype(jnp.int32), erw1, erw2, m,
+                           nviol)
                 return newc, rec
 
             return step
@@ -1370,8 +1407,11 @@ class NgramFusedDecoder:
         # Materialize the LM tables on device EAGERLY (_make_scan always
         # runs outside jit): a lazy first-use cache would capture tracers
         # when `run` is first called inside an outer jit trace (as the
-        # batch pipeline does) and leak them across retraces.
-        self._dev_tables = {k: jnp.asarray(v) for k, v in dev_tables.items()}
+        # batch pipeline does) and leak them across retraces.  Shared
+        # between the full and minimal scan variants.
+        if getattr(self, "_dev_tables", None) is None:
+            self._dev_tables = {k: jnp.asarray(v)
+                                for k, v in dev_tables.items()}
 
         def dev_tabs():
             return self._dev_tables
@@ -1383,8 +1423,8 @@ class NgramFusedDecoder:
             return jitted(costs, valid, carry, t0, dev_tabs())
 
         run.with_carry = with_carry
-        self._scan_fn = run
-        return self._scan_fn
+        self._scan_fn[minimal] = run
+        return run
 
     # -- device backtrace ----------------------------------------------------
 
@@ -1402,8 +1442,8 @@ class NgramFusedDecoder:
         segment table leaves the device.  Segment semantics match
         NgramFlatDecoder._backtrace / native/ps_native.c backtrace
         exactly (src/ngram_search.c bptbl walk)."""
-        if getattr(self, "_bt_fn", None) is not None:
-            return self._bt_fn
+        if self._bt_fn.get(False) is not None:
+            return self._bt_fn[False]
         import jax
         import jax.numpy as jnp
 
@@ -1438,7 +1478,55 @@ class NgramFusedDecoder:
                 cond, body, (t0, w0, jnp.int32(0), jnp.bool_(False), out0))
             return out, n
 
-        self._bt_fn = bt
+        self._bt_fn[False] = bt
+        return bt
+
+    def _make_backtrace_min(self):
+        """Device backtrace over MINIMAL (top-K-compressed) records:
+        kv/ki/etf/etgt [T, K+1] + rank [T, E] uint8.  The walk carries
+        the top-K RANK instead of the word id (path predecessors are
+        always shortlist members; see _make_scan minimal docstring)."""
+        if self._bt_fn.get(True) is not None:
+            return self._bt_fn[True]
+        import jax
+        import jax.numpy as jnp
+
+        has_finish = self.finish_idx is not None
+        K1 = min(self.topk, self.W) + 1
+
+        @jax.jit
+        def bt(kv, ki, etf, etgt, rank, nf):
+            T = kv.shape[0]
+            last = kv[nf - 1]
+            r0 = jnp.argmax(last[:K1 - 1]).astype(jnp.int32)
+            if has_finish:
+                r0 = jnp.where(last[K1 - 1] > NEG_INF / 2,
+                               jnp.int32(K1 - 1), r0)
+            out0 = jnp.full((T, 3), -1, jnp.int32)
+
+            def cond(st):
+                t, r, i, done, out = st
+                return (~done) & (i < T)
+
+            def body(st):
+                t, r, i, done, out = st
+                w = ki[t, r]
+                s = etf[t, r]
+                tg = etgt[t, r]
+                pr = jnp.where(
+                    s > 0,
+                    rank[jnp.maximum(s - 1, 0), tg].astype(jnp.int32),
+                    jnp.int32(255))
+                out = out.at[i].set(jnp.stack([w, s, t]))
+                done = (s <= 0) | (pr >= K1 - 1)
+                return (s - 1, pr, i + 1, done, out)
+
+            t0 = (nf - 1).astype(jnp.int32)
+            _, _, n, _, out = jax.lax.while_loop(
+                cond, body, (t0, r0, jnp.int32(0), jnp.bool_(False), out0))
+            return out, n
+
+        self._bt_fn[True] = bt
         return bt
 
     def _segs_from_table(self, table, n):
@@ -1531,28 +1619,41 @@ class NgramFusedDecoder:
             raw[0], raw[1], raw[2], raw[5], jnp.int32(T))
         return self._segs_from_table(np.asarray(table), int(n))
 
-    def decode_batch(self, feats, n_frames):
+    def decode_batch(self, feats, n_frames, keep_records=True):
+        """Batched decode.  keep_records=False uses the top-K-compressed
+        minimal record stream (~30x less HBM; long-utterance corpora
+        OOM with full [T, E] records) — `batch_records`/lattices are
+        then unavailable for this batch."""
         import jax
         import jax.numpy as jnp
         from ..models.acoustic import senone_scores_jax
 
+        minimal = not keep_records and min(self.topk, self.W) <= 254
         feats = jnp.asarray(feats)
         B, T = feats.shape[:2]
         n_frames = jnp.asarray(n_frames)
         costs = senone_scores_jax(self.am.scoring_arrays,
                                   self.am.cb_groups, feats)
         valid = jnp.arange(T)[None, :] < n_frames[:, None]
-        raw = jax.vmap(self._make_scan())(costs, valid)
+        raw = jax.vmap(self._make_scan(minimal=minimal))(costs, valid)
         nf = np.asarray(n_frames)
-        tables, ns = jax.vmap(self._make_backtrace_jax())(
-            raw[0], raw[1], raw[2], raw[5], n_frames.astype(jnp.int32))
+        if minimal:
+            tables, ns = jax.vmap(self._make_backtrace_min())(
+                raw[0], raw[1], raw[2], raw[3], raw[4],
+                n_frames.astype(jnp.int32))
+            viol = np.asarray(raw[6])
+            self.batch_records = None
+        else:
+            tables, ns = jax.vmap(self._make_backtrace_jax())(
+                raw[0], raw[1], raw[2], raw[5],
+                n_frames.astype(jnp.int32))
+            viol = np.asarray(raw[9])
+            self.batch_records = _LazyBatchRecords(self, raw, nf)
         tables = np.asarray(tables)
         ns = np.asarray(ns)
-        viol = np.asarray(raw[9])
         self.guard_violations_batch = [
             int(viol[b, :nf[b]].sum()) for b in range(B)]
         self.guard_violations = int(sum(self.guard_violations_batch))
-        self.batch_records = _LazyBatchRecords(self, raw, nf)
         return [self._segs_from_table(tables[b], int(ns[b]))
                 for b in range(B)]
 

@@ -90,6 +90,44 @@ def test_chain_step_matches_jnp(NST, D, W, RF):
     np.testing.assert_array_equal(np.asarray(keCX), np.asarray(reCX))
 
 
+def test_chain_step_vmap_batched():
+    """Under jax.vmap the custom_vmap rule folds the batch axis into
+    the pallas block (round-4 B x W_tile layout); results must equal
+    per-element application."""
+    import jax
+    import jax.numpy as jnp
+    from pocketsphinx_tpu.ops.pallas_chain import chain_step
+
+    NST, D, W, RF, B = 3, 4, 150, 3, 5
+    rng = np.random.RandomState(11)
+    S = rng.randn(B, NST, D, W).astype(np.float32) * 30
+    TF = rng.randint(0, 99, (B, NST, D, W)).astype(np.int32)
+    CTX = rng.randint(0, 999, (B, NST, D, W)).astype(np.int32)
+    VAR = rng.randint(0, RF, (B, NST, W)).astype(np.int32)
+    pre = (rng.rand(B, NST, D, W) * 80).astype(np.float32)
+    prevd = (rng.rand(B, NST, RF, W) * 80).astype(np.float32)
+    tp4 = -(rng.rand(D, W, NST, NST + 1) * 5).astype(np.float32)
+    tp_planes = jnp.asarray(
+        np.transpose(tp4, (2, 3, 0, 1)).reshape(NST * (NST + 1), D, W))
+    fd = rng.randint(0, D, W)
+    fm = jnp.asarray(np.arange(D)[:, None] == fd[None, :])
+    nv = jnp.asarray(rng.randint(1, RF + 1, W).astype(np.int32))
+    pip = np.float32(-0.7)
+
+    fn = lambda s, tf, cx, vr, pr, pv: chain_step(
+        s, tf, cx, vr, pr, pv, tp_planes, fm, nv, pip, interpret=True)
+    outs_v = jax.vmap(fn)(jnp.asarray(S), jnp.asarray(TF),
+                          jnp.asarray(CTX), jnp.asarray(VAR),
+                          jnp.asarray(pre), jnp.asarray(prevd))
+    for b in range(B):
+        outs_1 = fn(jnp.asarray(S[b]), jnp.asarray(TF[b]),
+                    jnp.asarray(CTX[b]), jnp.asarray(VAR[b]),
+                    jnp.asarray(pre[b]), jnp.asarray(prevd[b]))
+        for ov, o1 in zip(outs_v, outs_1):
+            np.testing.assert_array_equal(np.asarray(ov)[b],
+                                          np.asarray(o1))
+
+
 def test_fused_decoder_pallas_path_exact(monkeypatch):
     """End-to-end: the fused decoder with PS_PALLAS=1 (interpret mode
     on CPU) produces records identical to the XLA path on goforward."""

@@ -74,6 +74,25 @@ def test_guard_detects_forced_small_k(setup):
     assert viol2 > 10 * max(viol96, 1)
 
 
+def test_minimal_records_same_hyps(setup):
+    """The top-K-compressed minimal record stream (hyp-only decoding,
+    ~30x less HBM) must produce identical hypotheses and segmentations
+    to the full-records path — every backtrace predecessor is a
+    shortlist member by construction."""
+    am, d2p, lm, feats = setup
+    dec = NgramFusedDecoder(am, d2p, lm)
+    fb = np.asarray(feats)[None]
+    nf = np.array([len(feats)])
+    [(h_full, s_full)] = dec.decode_batch(fb, nf)
+    g_full = dec.guard_violations
+    [(h_min, s_min)] = dec.decode_batch(fb, nf, keep_records=False)
+    assert dec.batch_records is None
+    assert h_min == h_full == "go forward ten meters"
+    assert dec.guard_violations == g_full
+    assert [(s.word, s.start, s.end) for s in s_min] == \
+        [(s.word, s.start, s.end) for s in s_full]
+
+
 def test_records_invariant_at_default_k(setup):
     """Empirical record-level invariance behind the guard: at K=96 the
     exit-record stream (escore/etf/etgt/ecx/m) — everything backtrace,

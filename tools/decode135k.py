@@ -37,11 +37,12 @@ def main():
     feats = compute_feats(fe.process(pcm), cmn="batch")
     audio_s = len(pcm) / 16000.0
 
+    nf = np.array([len(feats)])
     t0 = time.time()
-    hyp, segs = dec.decode(feats)
+    [(hyp, segs)] = dec.decode_batch(feats[None], nf, keep_records=False)
     t_first = time.time() - t0
     t0 = time.time()
-    hyp, segs = dec.decode(feats)
+    [(hyp, segs)] = dec.decode_batch(feats[None], nf, keep_records=False)
     t_decode = time.time() - t0
 
     golden = os.path.join(HERE, "tests/golden/wer135k/ref.json")

@@ -21,12 +21,21 @@ full = Dictionary(am.mdef, REF + "/model/en-us/cmudict-en-us.dict",
 rng = random.Random(42)
 vocab = rng.sample([w for w in list(full._index)[:40000]
                     if w.isalpha() and full.wordid(w) >= 0], 1700)
-for w in ("go", "forward", "ten", "meters"):
-    if w not in vocab:
-        vocab.append(w)
+# the evaluation-corpus words must be in-vocabulary so the headline
+# bench (which decodes the 23-utt corpus) is a real task, not OOV noise
+import glob
+import os
+corpus_sents = ["go forward ten meters"]
+for p in sorted(glob.glob(REF + "/test/data/librivox/*.txt")):
+    corpus_sents.append(open(p).read().strip())
+for s in corpus_sents:
+    for w in s.split():
+        if w not in vocab and full.wordid(w) >= 0:
+            vocab.append(w)
 sents = [" ".join(rng.sample(vocab, rng.randint(3, 8)))
          for _ in range(6000)]
-sents += ["go forward ten meters"] * 25
+for s in corpus_sents:
+    sents += [s] * 25
 buf = io.StringIO()
 ArpaBoLM(text="\n".join(sents), add_start=True).write(buf)
 open("/tmp/bench.arpa", "w").write(buf.getvalue())
