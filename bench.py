@@ -94,12 +94,18 @@ def bench_config(dec, fe, pcms, B, n_iter, measure_stages=False,
                                  time_chunk=16), nfr
 
     @jax.jit
-    def pipeline(pcm_batch, n_samps):
+    def pipeline_t(pcm_batch, n_samps, tables):
+        # tables as arguments: re-capturing the decoder's dev tables as
+        # constants of this outer jit blows the remote compile size cap
         costs, nfr = stage_score(pcm_batch, n_samps)
         T = costs.shape[1]
         valid = jnp.arange(T)[None, :] < nfr[:, None]
-        recs = jax.vmap(scan)(costs, valid)
+        recs = jax.vmap(
+            lambda c, v: scan.with_tables(c, v, tables))(costs, valid)
         return recs[0]
+
+    def pipeline(pcm_batch, n_samps):
+        return pipeline_t(pcm_batch, n_samps, dec._dev_tables)
 
     def sync(x):
         jax.tree.map(lambda a: a.block_until_ready(), x)

@@ -195,15 +195,27 @@ class BatchDecodePipeline:
         n_sen = self.search.am.scoring_arrays["w_lin"].shape[-1]
 
         @jax.jit
-        def run(pcm_batch, n_samps):
+        def run_t(pcm_batch, n_samps, tables):
+            # decoder tables ride the outer jit as ARGUMENTS (constant
+            # capture is a compile-size/time hazard at scale) and keep
+            # their mesh shardings
             cep, nfr = fe.process_batch_jax(pcm_batch, n_samps)
             feats = compute_feats_jax(cep, nfr, cmn=self.cmn)
             costs = senone_scores_jax(arrays, groups, feats)[..., :n_sen]
             costs = jax.lax.with_sharding_constraint(costs, cost_spec)
             T = costs.shape[1]
             valid = jnp.arange(T)[None, :] < nfr[:, None]
-            recs = jax.vmap(scan)(costs, valid)
+            if hasattr(scan, "with_tables"):
+                recs = jax.vmap(
+                    lambda c, v: scan.with_tables(c, v, tables))(
+                    costs, valid)
+            else:
+                recs = jax.vmap(scan)(costs, valid)
             return recs, nfr
+
+        def run(pcm_batch, n_samps):
+            return run_t(pcm_batch, n_samps,
+                         getattr(self.search, "_dev_tables", None) or {})
 
         with self.mesh:
             for i0 in range(0, len(order), B):

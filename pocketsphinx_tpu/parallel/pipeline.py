@@ -56,22 +56,32 @@ class TwoStagePipeline:
             feats = compute_feats_jax(cep, nfr, cmn=self.cmn)
             return senone_scores_jax(arrays, groups, feats), nfr
 
-        def stage_scan(costs, nfr):
+        def stage_scan(costs, nfr, tables):
+            # tables as arguments, not captured constants (compile-size
+            # hazard at scale; see ngram_fused.with_tables)
             T = costs.shape[1]
             valid = jnp.arange(T)[None, :] < nfr[:, None]
+            if hasattr(scan, "with_tables"):
+                return jax.vmap(
+                    lambda c, v: scan.with_tables(c, v, tables))(
+                    costs, valid)
             return jax.vmap(scan)(costs, valid)
 
         # stage placement via input placement (jit device= is deprecated):
         # jit follows its argument devices
         score_jit = jax.jit(stage_score)
         scan_jit = jax.jit(stage_scan)
+        tabs = getattr(self.search, "_dev_tables", None) or {}
+        tabs_scan = {k: jax.device_put(v, self.dev_scan)
+                     for k, v in tabs.items()}
 
         def run_score(pcm_batch, n_samps):
             return score_jit(jax.device_put(pcm_batch, self.dev_score),
                              jax.device_put(n_samps, self.dev_score))
 
         self._stage_score = run_score
-        self._stage_scan = scan_jit
+        self._stage_scan = lambda costs, nfr: scan_jit(costs, nfr,
+                                                       tabs_scan)
 
     def decode_corpus(self, pcm_list, micro_batch: int = 8):
         """Decode utterances in micro-batches pipelined across the two

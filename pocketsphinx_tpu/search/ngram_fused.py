@@ -1422,7 +1422,16 @@ class NgramFusedDecoder:
         def with_carry(costs, valid, carry=None, t0=0):
             return jitted(costs, valid, carry, t0, dev_tabs())
 
+        def with_tables(costs, valid, tables):
+            """For callers that wrap the scan in an OUTER jit: pass
+            self._dev_tables through the outer jit's arguments and into
+            here, otherwise the tables are re-captured as constants of
+            the outer program (GBs of constants; remote-compile HTTP
+            413)."""
+            return jitted(costs, valid, None, 0, tables)[0]
+
         run.with_carry = with_carry
+        run.with_tables = with_tables
         self._scan_fn[minimal] = run
         return run
 
