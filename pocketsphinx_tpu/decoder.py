@@ -371,6 +371,7 @@ class Decoder:
         from .frontend.stream import FrontendStream, FeatStream
         self._fe_stream = FrontendStream(self.fe)
         self._feat_stream = FeatStream(
+            feat_type=self.config["feat"],
             svspec=self.config["svspec"], cmn=self.config["cmn"],
             cmn_state=self.cmn_state)
         search = self._searches[self._active]

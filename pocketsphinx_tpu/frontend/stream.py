@@ -107,51 +107,69 @@ class FeatStream:
     """Incremental MFCC -> feature frames with the live Δ-window buffer
     (feat_s2mfc2feat_live): the first frame is replicated `win` times at
     utterance start, the last `win` frames are held back until more
-    input (or replicated at end)."""
+    input (or replicated at end).
+
+    Supports every batch feature type (round-3 review missing #5): an
+    output frame is emitted once its full ±win context is buffered,
+    then computed by the shared compute_feats_typed kernel on the
+    buffered segment — the segment's replicated-edge frames fall
+    outside the emitted range, so streaming output is bit-identical to
+    the batch computation with live CMN."""
+
+    #: feat_window_size per type (src/feat/feat.c feat_init)
+    _WINS = {"1s_c_d_dd": WIN, "s3_1x39": WIN, "1s_c_d": WIN,
+             "cep_dcep": WIN, "1s_c": WIN, "cep": WIN,
+             "1s_c_d_ld_dd": 4, "s2_4x": 4}
 
     def __init__(self, feat_type: str = "1s_c_d_dd",
                  svspec: str | None = "0-12/13-25/26-38",
                  cmn: str = "live", cmn_state: CmnLive | None = None):
-        if feat_type != "1s_c_d_dd":
-            raise NotImplementedError(
-                "streaming features support 1s_c_d_dd")
-        self.svspec = parse_subvecs(svspec) if svspec else None
+        if feat_type not in self._WINS:
+            raise ValueError(f"unsupported feature type {feat_type!r}")
+        self.feat_type = feat_type
+        self.win = self._WINS[feat_type]
+        self.svspec = svspec if feat_type not in ("s2_4x",) else None
         self.cmn = cmn
         self.cmn_state = cmn_state or CmnLive()
         self.reset()
 
     def reset(self):
-        self._buf = np.zeros((0, 13), np.float32)
+        self._buf = None
         self._begun = False
 
     def process(self, cep: np.ndarray, end: bool = False) -> np.ndarray:
         """Feed MFCC frames, get feature frames [n, F, L]."""
+        from .feat import compute_feats_typed
+
         cep = np.asarray(cep, np.float32)
+        win = self.win
         # Streaming always uses running-mean CMN — the reference's live
         # path applies cmn_live even under "-cmn batch" (feat_cmn only
         # uses batch CMN for whole-utterance blocks, feat.c:1344-1352).
         if len(cep) and self.cmn != "none":
             cep = self.cmn_state(cep)
+        if self._buf is None:
+            self._buf = np.zeros((0, cep.shape[1] if len(cep) else 13),
+                                 np.float32)
         if len(cep) and not self._begun:
-            self._buf = np.repeat(cep[:1], WIN, axis=0)
+            self._buf = np.repeat(cep[:1], win, axis=0)
             self._begun = True
         if len(cep):
             self._buf = np.concatenate([self._buf, cep])
         if end and self._begun:
             self._buf = np.concatenate(
-                [self._buf, np.repeat(self._buf[-1:], WIN, axis=0)])
-        # frames computable: centers WIN..len-WIN-1 of the buffer
-        n_out = len(self._buf) - 2 * WIN
+                [self._buf, np.repeat(self._buf[-1:], win, axis=0)])
+        # frames computable: centers win..len-win-1 of the buffer
+        n_out = len(self._buf) - 2 * win
         if n_out <= 0:
-            return np.zeros((0, 3, 13), np.float32)
-        # compute deltas on the buffered window without re-padding
-        pad = self._buf
-        c = pad[WIN:WIN + n_out]
-        d = pad[WIN + 2:WIN + 2 + n_out] - pad[WIN - 2:WIN - 2 + n_out]
-        dd = ((pad[WIN + 3:WIN + 3 + n_out] - pad[WIN - 1:WIN - 1 + n_out])
-              - (pad[WIN + 1:WIN + 1 + n_out]
-                 - pad[WIN - 3:WIN - 3 + n_out]))
-        out = np.stack([c, d, dd], axis=1)
-        # keep the trailing 2*WIN frames for the next call
+            out, _ = compute_feats_typed(
+                np.zeros((1, self._buf.shape[1]), np.float32),
+                feat_type=self.feat_type, svspec=self.svspec, cmn="none")
+            return out[:0]
+        feats, _ = compute_feats_typed(
+            self._buf, feat_type=self.feat_type, svspec=self.svspec,
+            cmn="none")
+        out = feats[win:win + n_out]
+        # keep the trailing 2*win frames for the next call
         self._buf = self._buf[n_out:]
         return out

@@ -64,3 +64,27 @@ def test_streaming_decode_with_partials(pcm):
     by = {s.word: s for s in d.seg_iter()}
     assert abs(by["go"].start_frame - 46) <= 3
     assert abs(by["meters"].start_frame - 153) <= 4
+
+
+def test_feat_stream_all_types():
+    """Streaming features for every batch feature type (round-3 review
+    missing #5): chunked FeatStream output must be bit-identical to the
+    whole-utterance computation (same edge-replication semantics)."""
+    import numpy as np
+    from pocketsphinx_tpu.frontend.stream import FeatStream
+    from pocketsphinx_tpu.frontend.feat import compute_feats_typed
+
+    rng = np.random.RandomState(3)
+    cep = rng.randn(57, 13).astype(np.float32)
+    for ft, sv in [("1s_c_d_dd", "0-12/13-25/26-38"),
+                   ("1s_c_d_ld_dd", None), ("s2_4x", None),
+                   ("s3_1x39", None), ("1s_c_d", None), ("1s_c", None)]:
+        ref, _ = compute_feats_typed(cep, feat_type=ft, svspec=sv,
+                                     cmn="none")
+        fs = FeatStream(feat_type=ft, svspec=sv, cmn="none")
+        outs = []
+        for i in range(0, len(cep), 11):
+            outs.append(fs.process(cep[i:i + 11]))
+        outs.append(fs.process(np.zeros((0, 13)), end=True))
+        got = np.concatenate(outs)
+        np.testing.assert_array_equal(got, ref, err_msg=ft)

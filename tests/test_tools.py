@@ -149,3 +149,50 @@ def test_endpointer_segments_goforward():
     assert len(segs) >= 1
     total_speech = sum(len(s) for _, _, s in segs) / 16000
     assert 1.0 < total_speech <= 2.8  # speech region of the 2.79 s clip
+
+
+def test_batch_cli_mllrctl(tmp_path):
+    """Per-speaker MLLR in the batch CLI (-mllrctl/-mllrdir/-mllrext,
+    programs/pocketsphinx_batch.c process_mllrctl_line): consecutive
+    identical names form a speaker group, each applied to the PRISTINE
+    model (gauden_mllr_transform reload semantics)."""
+    require_model()
+    from pocketsphinx_tpu import cli_batch
+
+    an4 = DATADIR / "an4_ci_cont"          # the bundled mllr matches an4
+    raw = DATADIR / "goforward.raw"
+    (tmp_path / "u1.raw").write_bytes(raw.read_bytes())
+    (tmp_path / "u2.raw").write_bytes(raw.read_bytes())
+    (tmp_path / "ctl").write_text("u1\nu2\n")
+    (tmp_path / "mllrctl").write_text("mllr_matrices\nmllr_matrices\n")
+    hyp = tmp_path / "hyp"
+    args = ["-hmm", str(an4), "-lm", str(DATADIR / "turtle.lm.bin"),
+            "-dict", str(DATADIR / "turtle.dic"),
+            "-ctl", str(tmp_path / "ctl"), "-cepdir", str(tmp_path),
+            "-cepext", ".raw", "-adcin", "yes", "-hyp", str(hyp)]
+    rc = cli_batch.main(args + ["-mllrctl", str(tmp_path / "mllrctl"),
+                                "-mllrdir", str(DATADIR)])
+    assert rc == 0
+    lines = hyp.read_text().strip().splitlines()
+    assert len(lines) == 2
+    # the transform is a real speaker adaptation: hyps must be produced
+    # for every utterance (they may differ from the unadapted decode)
+    assert all("(u" in l for l in lines)
+    # and a fresh run WITHOUT mllr must decode from the pristine model
+    # (the transform must not leak: reload-before-transform semantics)
+    rc = cli_batch.main(args)
+    assert rc == 0
+    assert len(hyp.read_text().strip().splitlines()) == 2
+
+
+def test_ds_downsampling():
+    """-ds frame GMM downsampling (src/ptm_mgau.c:241-243): every
+    ds-th frame scored, scores held between; goforward stays correct
+    at ds=2 and the decode differs from ds=1 only in scores."""
+    require_model()
+    from pocketsphinx_tpu.decoder import Decoder
+
+    d = Decoder(hmm=str(EN_US), lm=str(DATADIR / "turtle.lm.bin"),
+                dict=str(DATADIR / "turtle.dic"), ds=2, bestpath=False)
+    hyp = d.decode_raw((DATADIR / "goforward.raw").read_bytes())
+    assert hyp.hypstr == "go forward ten meters"
