@@ -1641,8 +1641,12 @@ class NgramFusedDecoder:
         feats = jnp.asarray(feats)
         B, T = feats.shape[:2]
         n_frames = jnp.asarray(n_frames)
+        # time_chunk bounds the [B, chunk, CB, F, D] scoring
+        # intermediate: unchunked it reaches GBs on long-utterance
+        # batches (~2.3 GB at B=8, T=4400 on en-us) and OOMs the chip
         costs = senone_scores_jax(self.am.scoring_arrays,
-                                  self.am.cb_groups, feats)
+                                  self.am.cb_groups, feats,
+                                  time_chunk=16)
         valid = jnp.arange(T)[None, :] < n_frames[:, None]
         raw = jax.vmap(self._make_scan(minimal=minimal))(costs, valid)
         nf = np.asarray(n_frames)
