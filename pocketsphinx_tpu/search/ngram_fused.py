@@ -795,25 +795,20 @@ class NgramFusedDecoder:
             dev_tables["tp_fin"] = self.tp_fin[:n_multi]
         if SP:
             dev_tables["tp_sp"] = self.tp_sp[:SP]
-        # Pallas fused chain kernel (ops/pallas_chain.py): one kernel
-        # per bucket instead of ~35 fused XLA kernels.  PS_PALLAS=1
-        # enables; interpret mode keeps CPU tests exact.
-        use_pallas = os.environ.get("PS_PALLAS", "0") == "1"
-        if use_pallas:
-            from ..ops.pallas_chain import chain_step as _pl_chain
-            _dd = jax.config.jax_default_device
-            _plat = _dd.platform if _dd is not None \
-                else jax.default_backend()
-            pallas_interp = _plat != "tpu"
-
-            def tp_planes(tp4):
-                NSTp = tp4.shape[2]
-                return jnp.asarray(np.ascontiguousarray(
-                    np.transpose(tp4, (2, 3, 0, 1))).reshape(
-                        NSTp * (NSTp + 1), tp4.shape[0], tp4.shape[1]))
-
-            ch_tpp = [tp_planes(ch.tp) for ch in self.chains]
-            ci_tpp = [tp_planes(ch.tp) for ch in self.ci_chains]
+        # Diphone->word expansion einsum precision: HIGHEST (bf16x6,
+        # default, bit-exact f32) vs HIGH (bf16x3, ~2x less MXU time;
+        # one-hot operand exact, senone-score operand reconstructed to
+        # ~2^-12 relative — measurably identical decodes on the bench
+        # tasks but not provably bit-exact, so opt-in).
+        expand_prec = (jax.lax.Precision.HIGH
+                       if os.environ.get("PS_EXPAND_PRECISION", "")
+                       .lower() == "high"
+                       else jax.lax.Precision.HIGHEST)
+        # The Pallas fused chain kernel (ops/pallas_chain.py) was
+        # measured and RETIRED from this path: even with the round-4
+        # batch-folded block layout it loses to XLA's fusions on turtle
+        # B=512 (4.34 vs 3.79 ms/step; docs/PERF_NOTES.md).  The kernel
+        # and its exactness tests remain as a validated study.
         CH = self.CHUNK
 
         def tens3(shape, val=BIG_NEG, dtype=np.float32):
@@ -931,23 +926,9 @@ class NgramFusedDecoder:
                     # expand per-diphone variant planes to words (exact
                     # one-hot f32 matmul; see senid_first_d in _build)
                     prev = jnp.einsum("jvf,fw->jvw", prev_d, fd_oh[bi],
-                                      precision=jax.lax.Precision.HIGHEST)
+                                      precision=expand_prec)
                     fm = ch_fm[bi]                       # [D, Wb]
                     nv = ch_nv[bi]
-                    if use_pallas:
-                        nS, nTF_, nCX_, nVR_, el, elTF, elCX = _pl_chain(
-                            jnp.stack(e["S"]), jnp.stack(e["TF"]),
-                            jnp.stack(e["CTX"]), jnp.stack(e["VAR"]),
-                            pre, prev, ch_tpp[bi], fm, nv,
-                            np.float32(pip), interpret=pallas_interp)
-                        newc["ch"].append(dict(
-                            S=tuple(nS[j] for j in range(NST)),
-                            TF=tuple(nTF_[j] for j in range(NST)),
-                            CTX=tuple(nCX_[j] for j in range(NST)),
-                            VAR=tuple(nVR_[j] for j in range(NST))))
-                        outs_last.append(el)
-                        ch_exits.append((el, elTF, elCX))
-                        continue
                     sen = []
                     for j in range(NST):
                         sf = first_select(-prev[j], e["VAR"][j], nv)
@@ -981,7 +962,7 @@ class NgramFusedDecoder:
                     e = carry["fin"]
                     pre_d = seg_of(g, si_fin)            # [3, n_rc, n_lp]
                     pre = jnp.einsum("jrn,nw->jrw", pre_d, lp_oh,
-                                     precision=jax.lax.Precision.HIGHEST)
+                                     precision=expand_prec)
                     sen = tuple(-pre[j] for j in range(NST))
                     newS, (nTF, nCTX), out_f, _, (oTF_f, oCTX_f) = hmm_step_sm(
                         e["S"], sen, tp_fin, metas=(e["TF"], e["CTX"]))
@@ -1036,21 +1017,6 @@ class NgramFusedDecoder:
                     e = carry["ci"][bi]
                     pre = seg_of(g, si_ci[bi])
                     fm = ci_fm[bi]
-                    if use_pallas:
-                        nS, nTF_, nCX_, _, el, elTF, elCX = _pl_chain(
-                            jnp.stack(e["S"]), jnp.stack(e["TF"]),
-                            jnp.stack(e["CTX"]), None, pre, None,
-                            ci_tpp[bi], fm,
-                            jnp.ones(ch.Wb, jnp.int32), np.float32(pip),
-                            interpret=pallas_interp)
-                        newc["ci"].append(dict(
-                            S=tuple(nS[j] for j in range(NST)),
-                            TF=tuple(nTF_[j] for j in range(NST)),
-                            CTX=tuple(nCX_[j] for j in range(NST))))
-                        esc_c.append(el)
-                        etf_c.append(elTF)
-                        ecx_c.append(elCX)
-                        continue
                     sen = tuple(-pre[j] for j in range(NST))
                     newS, (nTF, nCTX), out, _, (oTF, oCTX) = hmm_step_sm(
                         e["S"], sen, ci_tp[bi], metas=(e["TF"], e["CTX"]))

@@ -56,7 +56,7 @@ def main():
     B = args.batch
     fb = np.tile(feats[None], (B, 1, 1, 1)).astype(np.float32)
     costs = senone_scores_jax(dec.am.scoring_arrays, dec.am.cb_groups,
-                              jnp.asarray(fb))
+                              jnp.asarray(fb), time_chunk=16)
     T = costs.shape[1]
     valid = jnp.ones((B, T), bool)
     vscan = jax.vmap(scan)
