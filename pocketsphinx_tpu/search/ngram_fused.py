@@ -117,7 +117,10 @@ class NgramFusedDecoder:
     """Exact-trigram full-vocabulary Viterbi with a gather-free scan."""
 
     LM_TABLE_BUDGET = None   # default: env PS_LM_TABLE_BYTES or 2 GiB
-    CHUNK = 8                # senone pre-gather chunk (frames)
+    #: senone pre-gather chunk (frames); env PS_NGRAM_CHUNK overrides.
+    #: 16 measured ~6% faster than 8 at the 20k config (fewer outer
+    #: scan iterations / launch overhead; docs/PERF_NOTES.md)
+    CHUNK = int(os.environ.get("PS_NGRAM_CHUNK", "16"))
 
     def __init__(self, am: AcousticModel, d2p: Dict2Pid, lm: NgramModel,
                  silprob: float = 0.005, fillprob: float = 1e-8,
