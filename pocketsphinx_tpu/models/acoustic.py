@@ -191,7 +191,14 @@ def senone_scores_jax(model_arrays: dict, cb_groups: dict, feats,
         out = out.swapaxes(0, 1).reshape(B, n_chunks * time_chunk, -1)
         return out[:, :T]
 
-    hp = jax.lax.Precision.HIGHEST
+    import os
+    # scores feed Viterbi compares; HIGHEST (bf16x6 ~ f32) is the
+    # bit-stable default.  PS_SCORE_PRECISION=high opts into bf16x3
+    # (half the MXU passes, ~2^-22 relative score noise) for
+    # throughput-over-exactness deployments.
+    hp = (jax.lax.Precision.HIGH
+          if os.environ.get("PS_SCORE_PRECISION", "").lower() == "high"
+          else jax.lax.Precision.HIGHEST)
     prec = jnp.asarray(model_arrays["prec"])        # [CB,F,D,L]
     muprec = jnp.asarray(model_arrays["muprec"])
     const = jnp.asarray(model_arrays["const"])      # [CB,F,D]
