@@ -179,3 +179,16 @@ def test_defective_dict_recovery(pcm):
     assert d.decode_raw(pcm).hypstr == "go forward ten meters"
     assert d.load_dict(str(DATADIR / "defective.dic")) == 0
     assert d.decode_raw(pcm).hypstr == "go forward ten degrees"
+
+
+def test_top_level_exports():
+    """Package-level API parity with `from pocketsphinx import ...`
+    (cython/pocketsphinx/__init__.py exports), resolved lazily."""
+    import pocketsphinx_tpu as ps
+    for name in ("Decoder", "Config", "Hypothesis", "Segment",
+                 "Pocketsphinx", "AudioFile", "LiveSpeech", "Segmenter",
+                 "Endpointer", "Vad"):
+        assert getattr(ps, name) is not None, name
+    import pytest
+    with pytest.raises(AttributeError):
+        ps.NoSuchThing
