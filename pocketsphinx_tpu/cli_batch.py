@@ -147,7 +147,11 @@ def _main(argv=None):
         else:
             for i in members:
                 results[i] = search.decode(feats_list[i])
-                records[i] = getattr(search, "records", None)
+                # only materialize records when a lattice consumer
+                # (-outlatdir) needs them: touching the lazy `.records`
+                # property forces the full per-frame transfer/adaptation
+                records[i] = (getattr(search, "records", None)
+                              if config["outlatdir"] else None)
 
     if mllr_names is None:
         decode_group(list(range(len(utts))))

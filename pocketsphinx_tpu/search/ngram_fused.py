@@ -117,10 +117,11 @@ class NgramFusedDecoder:
     """Exact-trigram full-vocabulary Viterbi with a gather-free scan."""
 
     LM_TABLE_BUDGET = None   # default: env PS_LM_TABLE_BYTES or 2 GiB
-    #: senone pre-gather chunk (frames); env PS_NGRAM_CHUNK overrides.
-    #: 16 measured ~6% faster than 8 at the 20k config (fewer outer
-    #: scan iterations / launch overhead; docs/PERF_NOTES.md)
-    CHUNK = int(os.environ.get("PS_NGRAM_CHUNK", "16"))
+    #: senone pre-gather chunk (frames); env PS_NGRAM_CHUNK overrides
+    #: (read at scan-build time in _make_scan, like the other PS_*
+    #: knobs).  16 measured ~6% faster than 8 at the 20k config (fewer
+    #: outer scan iterations / launch overhead; docs/PERF_NOTES.md)
+    CHUNK = 16
 
     def __init__(self, am: AcousticModel, d2p: Dict2Pid, lm: NgramModel,
                  silprob: float = 0.005, fillprob: float = 1e-8,
@@ -463,6 +464,16 @@ class NgramFusedDecoder:
         cols_E = self.col_lm[self.e2w]
         n_bg = lm.counts[1] if lm.order >= 2 else 0
         R = 1 + V + n_bg
+        # Exactness bound: LM context ids (1+V+n_bg), word ids and entry
+        # targets ride as f32 payload columns / one-hot matmul payloads
+        # in the scan, which is exact only for integers < 2^24.  Refuse
+        # loudly rather than silently corrupt contexts/backtraces.
+        if R >= (1 << 24) or self.nE >= (1 << 24):
+            raise ValueError(
+                f"LM too large for the fused scan's f32 payload channels:"
+                f" 1+V+n_bigrams={R}, E={self.nE} must be < 2^24 for"
+                f" exact f32 integer arithmetic (ngram_fused payload"
+                f" matmuls). Use a smaller LM or shard the model.")
         force = os.environ.get("PS_LM_MODE")
         sparse_budget = int(os.environ.get("PS_LM_SPARSE_BYTES", 6 << 30))
         if force == "rows":
@@ -582,7 +593,8 @@ class NgramFusedDecoder:
         fat_of[fat_hs] = np.arange(n_fat)
         # non-fat rows padded to SB for in-scan dynamic slices; fat rows
         # point start at 0/len 0
-        SB = int(rlen[rlen <= self.FAT_CAP].max()) if len(rlen) else 0
+        kept = rlen[rlen <= self.FAT_CAP]
+        SB = int(kept.max()) if len(kept) else 0
         keepmask = np.repeat(rlen <= self.FAT_CAP, rlen)
         bg_cols_k = bg_cols[keepmask]
         bg_vals_k = bg_vals[keepmask]
@@ -623,7 +635,7 @@ class NgramFusedDecoder:
 
     # -- the scan ------------------------------------------------------------
 
-    def _make_scan(self, minimal=False):
+    def _make_scan(self, minimal=False, mask_carry=False):
         """Build the jitted per-utterance scan.
 
         minimal=False: full per-frame records ([T, W] exits + [T, E]
@@ -635,9 +647,17 @@ class NgramFusedDecoder:
         path predecessor is by construction a top-K exit of its frame
         (entries source only from the shortlist); ~30x less HBM and
         record-write traffic (a [T~4400, E] f32 record batch is ~23 GB
-        at 20k words — the round-4 corpus bench OOM)."""
-        if self._scan_fn.get(minimal) is not None:
-            return self._scan_fn[minimal]
+        at 20k words — the round-4 corpus bench OOM).
+
+        mask_carry=True freezes the carry on invalid (padding) frames —
+        required ONLY when the final carry is consumed across calls (the
+        streaming with_carry path).  Batch/one-shot decodes leave it
+        False: nothing after an utterance's last frame is ever read
+        (records and the backtrace are causal), and the where(valid)
+        tree select costs a full read+write pass over every carry
+        array per step (~7% of the 20k scan, round-5 xprof)."""
+        if self._scan_fn.get((minimal, mask_carry)) is not None:
+            return self._scan_fn[(minimal, mask_carry)]
         import jax
         import jax.numpy as jnp
         from ..ops.hmm import hmm_step_sm
@@ -812,7 +832,10 @@ class NgramFusedDecoder:
         # batch-folded block layout it loses to XLA's fusions on turtle
         # B=512 (4.34 vs 3.79 ms/step; docs/PERF_NOTES.md).  The kernel
         # and its exactness tests remain as a validated study.
-        CH = self.CHUNK
+        try:
+            CH = int(os.environ.get("PS_NGRAM_CHUNK", self.CHUNK))
+        except ValueError:
+            CH = self.CHUNK
 
         def tens3(shape, val=BIG_NEG, dtype=np.float32):
             return tuple(jnp.full(shape, val, dtype) for _ in range(NST))
@@ -1067,9 +1090,14 @@ class NgramFusedDecoder:
                                  precision=HI)                       # [K, n_rc]
                 exg = jnp.einsum("kr,er->ke", svk, f0_onehot,
                                  precision=HI)                       # [K, E]
+                # Row fetches are batched jnp.take gathers: one gather
+                # kernel per table per step.  The round-3 idiom
+                # vmap(dynamic_slice) lowers per (batch, K) instance for
+                # small/offset slices — 576 one-microsecond kernels per
+                # step per table at B=6/K=96, ~25% of the whole 20k scan
+                # (round-5 xprof; big row gathers hit 14 G elem/s).
                 if mode_rows:
-                    lmfull = jax.vmap(lambda i: jax.lax.dynamic_slice_in_dim(
-                        rows_tab, i, 1, 0)[0])(ctx_k)            # [K, E+2]
+                    lmfull = jnp.take(rows_tab, ctx_k, axis=0)   # [K, E+2]
                     lmrow = lmfull[:, :nE]
                     rw1_k = lmfull[:, nE].astype(jnp.int32)
                     rw2_k = lmfull[:, nE + 1].astype(jnp.int32)
@@ -1080,8 +1108,7 @@ class NgramFusedDecoder:
                     # fetch; unigram-context h1/h2 are arithmetic.
                     is_tri = ctx_k > self.V
                     b = jnp.clip(ctx_k - 1 - self.V, 0, max(N_BG - 1, 0))
-                    meta = jax.vmap(lambda i: jax.lax.dynamic_slice_in_dim(
-                        bgmeta_tab, i, 1, 0)[0])(b)                  # [K, 8]
+                    meta = jnp.take(bgmeta_tab, b, axis=0)           # [K, 8]
                     rw1_k = jnp.where(
                         is_tri, meta[:, 0],
                         jnp.where(ctx_k > 0, ctx_k - 1, self.V))
@@ -1094,9 +1121,7 @@ class NgramFusedDecoder:
                         # explicit bigrams and successor contexts overlay
                         # via the per-history CSR slices; giant-fanout
                         # histories (<s>) use precomputed dense rows.
-                        um = jax.vmap(
-                            lambda i: jax.lax.dynamic_slice_in_dim(
-                                umeta_tab, i, 1, 0)[0])(h1c)     # [K, 4]
+                        um = jnp.take(umeta_tab, h1c, axis=0)        # [K, 4]
                         bo1w_k = jax.lax.bitcast_convert_type(
                             um[:, 2], jnp.float32)
                         base = uni_tab[None, :] + bo1w_k[:, None]
@@ -1105,15 +1130,11 @@ class NgramFusedDecoder:
                         if SB_CSR:
                             bstart, bcnt, bfat = (um[:, 0], um[:, 1],
                                                   um[:, 3])
-                            wcB = jax.vmap(
-                                lambda s: jax.lax.dynamic_slice_in_dim(
-                                    bgc_j, s, SB_CSR))(bstart)
-                            wvB = jax.vmap(
-                                lambda s: jax.lax.dynamic_slice_in_dim(
-                                    bgv_j, s, SB_CSR))(bstart)
-                            wxB = jax.vmap(
-                                lambda s: jax.lax.dynamic_slice_in_dim(
-                                    bgx_j, s, SB_CSR))(bstart)
+                            posB0 = bstart[:, None] + jnp.arange(
+                                SB_CSR, dtype=jnp.int32)[None, :]
+                            wcB = jnp.take(bgc_j, posB0)
+                            wvB = jnp.take(bgv_j, posB0)
+                            wxB = jnp.take(bgx_j, posB0)
                             posB = jax.lax.broadcasted_iota(
                                 jnp.int32, (K, SB_CSR), 1)
                             okB = posB < bcnt[:, None]
@@ -1132,28 +1153,22 @@ class NgramFusedDecoder:
                         if N_FAT:
                             isfat = um[:, 3] >= 0
                             fidx = jnp.clip(um[:, 3], 0, N_FAT - 1)
-                            fr = jax.vmap(
-                                lambda i: jax.lax.dynamic_slice_in_dim(
-                                    fat_tab, i, 1, 0)[0])(fidx)
-                            fx = jax.vmap(
-                                lambda i: jax.lax.dynamic_slice_in_dim(
-                                    fatctx_tab, i, 1, 0)[0])(fidx)
+                            fr = jnp.take(fat_tab, fidx, axis=0)
+                            fx = jnp.take(fatctx_tab, fidx, axis=0)
                             base = jnp.where(isfat[:, None], fr, base)
                             ctxrow = jnp.where(isfat[:, None], fx,
                                                ctxrow)
                     else:
-                        base = jax.vmap(
-                            lambda i: jax.lax.dynamic_slice_in_dim(
-                                bg_tab, i, 1, 0)[0])(h1c)        # [K, E]
+                        base = jnp.take(bg_tab, h1c, axis=0)     # [K, E]
                     lmrow = base + jnp.where(is_tri, bo2w_v,
                                              0.0)[:, None]
                     if S_TRI:
                         start = meta[:, 3]
                         cnt = meta[:, 4]
-                        wc = jax.vmap(lambda s: jax.lax.dynamic_slice_in_dim(
-                            tgc_j, s, S_TRI))(start)                 # [K, S]
-                        wv = jax.vmap(lambda s: jax.lax.dynamic_slice_in_dim(
-                            tgv_j, s, S_TRI))(start)
+                        pos0 = start[:, None] + jnp.arange(
+                            S_TRI, dtype=jnp.int32)[None, :]
+                        wc = jnp.take(tgc_j, pos0)                   # [K, S]
+                        wv = jnp.take(tgv_j, pos0)
                         pos = jax.lax.broadcasted_iota(
                             jnp.int32, (K, S_TRI), 1)
                         ok = (pos < cnt[:, None]) & is_tri[:, None]
@@ -1164,14 +1179,13 @@ class NgramFusedDecoder:
                             jnp.arange(K)[:, None], idx].set(
                             jnp.where(ok, wv, 0.0), mode="drop")[:, :nE]
                 if not mode_csr:
-                    ctxrow = jax.vmap(
-                        lambda i: jax.lax.dynamic_slice_in_dim(
-                            ctx_next, i, 1, 0)[0])(
-                        jnp.maximum(rw1_k, 0))                   # [K, E]
+                    ctxrow = jnp.take(ctx_next, jnp.maximum(rw1_k, 0),
+                                      axis=0)                    # [K, E]
                 fb_oh = (fb_k[:, None] ==
                          jnp.arange(n_ciph)[None, :]).astype(jnp.float32)
-                accm = jnp.einsum("kc,ec->ke", fb_oh, accept_E,
-                                  precision=HI)
+                # both operands are 0/1 (bf16-exact): DEFAULT precision
+                # is already exact, no multi-pass emulation needed
+                accm = jnp.einsum("kc,ec->ke", fb_oh, accept_E)
                 cand = exg + jnp.where(isfill_E[None, :],
                                        fillpen_E[None, :],
                                        lmrow + wpen) \
@@ -1306,8 +1320,10 @@ class NgramFusedDecoder:
                     return c
 
                 newc = renorm(newc)
-                newc = jax.tree.map(
-                    lambda new, old: jnp.where(valid, new, old), newc, carry)
+                if mask_carry:
+                    newc = jax.tree.map(
+                        lambda new, old: jnp.where(valid, new, old),
+                        newc, carry)
                 if minimal:
                     # top-(K+1) exit records + [E] winner-rank map (see
                     # _make_scan docstring).  Slot K pins the finish
@@ -1389,6 +1405,11 @@ class NgramFusedDecoder:
             return jitted(costs, valid, None, 0, dev_tabs())[0]
 
         def with_carry(costs, valid, carry=None, t0=0):
+            if not mask_carry:
+                # carry reuse across calls requires the masked variant
+                # (padding frames must not advance the carry)
+                return self._make_scan(minimal, mask_carry=True) \
+                    .with_carry(costs, valid, carry, t0)
             return jitted(costs, valid, carry, t0, dev_tabs())
 
         def with_tables(costs, valid, tables):
@@ -1401,7 +1422,7 @@ class NgramFusedDecoder:
 
         run.with_carry = with_carry
         run.with_tables = with_tables
-        self._scan_fn[minimal] = run
+        self._scan_fn[(minimal, mask_carry)] = run
         return run
 
     # -- device backtrace ----------------------------------------------------
@@ -1454,7 +1475,7 @@ class NgramFusedDecoder:
             t0 = (nf - 1).astype(jnp.int32)
             _, _, n, _, out = jax.lax.while_loop(
                 cond, body, (t0, w0, jnp.int32(0), jnp.bool_(False), out0))
-            return out, n
+            return out, n, last[w0]
 
         self._bt_fn[False] = bt
         return bt
@@ -1502,7 +1523,7 @@ class NgramFusedDecoder:
             t0 = (nf - 1).astype(jnp.int32)
             _, _, n, _, out = jax.lax.while_loop(
                 cond, body, (t0, r0, jnp.int32(0), jnp.bool_(False), out0))
-            return out, n
+            return out, n, last[r0]
 
         self._bt_fn[True] = bt
         return bt
@@ -1593,8 +1614,13 @@ class NgramFusedDecoder:
         self.guard_violations = int(np.asarray(raw[9])[:T].sum())
         # 1-best path entirely on device; records transfer only if a
         # lattice/bestpath consumer touches .records afterwards
-        table, n = self._make_backtrace_jax()(
+        table, n, sc = self._make_backtrace_jax()(
             raw[0], raw[1], raw[2], raw[5], jnp.int32(T))
+        # un-renormalized path score: final winner score + the per-frame
+        # renorm offsets the scan subtracted (src/ngram_search.c:545
+        # bp_hyp fills the hyp score from the backtrace the same way)
+        self.hyp_score = float(np.asarray(sc)) \
+            + float(np.asarray(raw[8])[:T - 1].sum())
         return self._segs_from_table(np.asarray(table), int(n))
 
     def decode_batch(self, feats, n_frames, keep_records=True):
@@ -1607,6 +1633,14 @@ class NgramFusedDecoder:
         from ..models.acoustic import senone_scores_jax
 
         minimal = not keep_records and min(self.topk, self.W) <= 254
+        if not keep_records and not minimal:
+            import warnings
+            warnings.warn(
+                f"keep_records=False requested but topk={self.topk} "
+                f"exceeds the uint8 rank-map limit (254): falling back "
+                f"to full [T, E] records, which may OOM on long "
+                f"utterances. Lower topk to restore minimal records.",
+                RuntimeWarning, stacklevel=2)
         feats = jnp.asarray(feats)
         B, T = feats.shape[:2]
         n_frames = jnp.asarray(n_frames)
@@ -1620,19 +1654,25 @@ class NgramFusedDecoder:
         raw = jax.vmap(self._make_scan(minimal=minimal))(costs, valid)
         nf = np.asarray(n_frames)
         if minimal:
-            tables, ns = jax.vmap(self._make_backtrace_min())(
+            tables, ns, scs = jax.vmap(self._make_backtrace_min())(
                 raw[0], raw[1], raw[2], raw[3], raw[4],
                 n_frames.astype(jnp.int32))
             viol = np.asarray(raw[6])
+            m_rec = np.asarray(raw[5])
             self.batch_records = None
         else:
-            tables, ns = jax.vmap(self._make_backtrace_jax())(
+            tables, ns, scs = jax.vmap(self._make_backtrace_jax())(
                 raw[0], raw[1], raw[2], raw[5],
                 n_frames.astype(jnp.int32))
             viol = np.asarray(raw[9])
+            m_rec = np.asarray(raw[8])
             self.batch_records = _LazyBatchRecords(self, raw, nf)
         tables = np.asarray(tables)
         ns = np.asarray(ns)
+        scs = np.asarray(scs)
+        self.hyp_scores = [
+            float(scs[b]) + float(m_rec[b, :max(nf[b] - 1, 0)].sum())
+            for b in range(B)]
         self.guard_violations_batch = [
             int(viol[b, :nf[b]].sum()) for b in range(B)]
         self.guard_violations = int(sum(self.guard_violations_batch))

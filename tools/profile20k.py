@@ -99,7 +99,7 @@ def main():
         t_scan = time.time() - t0
 
         t0 = time.time()
-        tb, ns = jax.vmap(dec._make_backtrace_jax())(
+        tb, ns, _ = jax.vmap(dec._make_backtrace_jax())(
             raw[0], raw[1], raw[2], raw[5],
             n_frames.astype(jnp.int32))
         sync((tb, ns))
