@@ -68,4 +68,9 @@ def __getattr__(name):
     if name == "Vad":
         from .vad.vad import Vad as _V
         return _V
+    if name == "err":
+        # logging subsystem (err_set_loglevel/logfile/callback parity,
+        # include/pocketsphinx/err.h)
+        from . import err as _e
+        return _e
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -64,6 +64,13 @@ class Decoder:
         config.default_search_args()
         config.expand_model_config()
         mode = config.validate_search_mode()
+        # logging subsystem wiring (err_set_logfile/err_set_loglevel,
+        # src/pocketsphinx.c:256-271): honor -logfn and -loglevel
+        from . import err
+        if config["loglevel"]:
+            err.set_loglevel(config["loglevel"])
+        if config["logfn"]:
+            err.set_logfile(config["logfn"])
 
         # The dense TPU search evaluates every state every frame; the
         # reference's pruning knobs are accepted for config
@@ -76,11 +83,12 @@ class Decoder:
                   "pl_window", "pl_beam", "pl_pbeam", "pl_weight")
         _set = [p for p in _inert if config.is_user_set(p)]
         if _set:
-            import sys
-            sys.stderr.write(
-                "WARNING: parameters have no effect in the dense "
+            err.E_WARN(
+                "parameters have no effect in the dense "
                 "(unpruned) TPU search and are ignored: "
-                + " ".join("-" + p for p in _set) + "\n")
+                + " ".join("-" + p for p in _set))
+        err.E_INFO(f"Initializing decoder: -hmm {config['hmm']} "
+                   f"(search mode: {mode or 'none'})")
 
         hmm = config["hmm"]
         if not hmm:
@@ -254,6 +262,14 @@ class Decoder:
                 raise KeyError(f"Unknown phone {ph!r}")
             pids.append(p)
         wid = self.dict.add_word(word, pids)
+        # n-gram searches also get the word as a fresh unigram so it can
+        # actually be recognized (ps_add_word src/pocketsphinx.c:940 ->
+        # ngram_model_add_word(lmset, word, 1.0))
+        for s in self._searches.values():
+            lm = getattr(s, "lm", None)
+            if lm is not None and hasattr(lm, "add_word") \
+                    and lm.wid(word) < 0:
+                lm.add_word(word, 1.0)
         if update:
             # invalidate compiled searches that embed the dictionary
             for name, s in list(self._searches.items()):

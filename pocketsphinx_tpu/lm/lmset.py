@@ -86,15 +86,73 @@ class ClassNgramModel:
         return getattr(self.base, name)
 
 
+class InterpolatedNgramModel:
+    """Weighted interpolation over a set's members
+    (ngram_model_set_score with cur == -1,
+    src/lm/ngram_model_set.c:685-732): score(w|h) =
+    logadd_i(lweight_i + member_i's weighted score), each member scored
+    with its own lw/wip, word/history mapped per member by string."""
+
+    def __init__(self, models: dict, lweights: dict):
+        self.models = models
+        self.lweights = lweights          # name -> log-weight (logmath)
+        first = next(iter(models.values()))
+        self.order = max(m.order for m in models.values())
+        self.counts = first.counts
+        # union vocabulary, first model's ids first (widmap analog)
+        self.words = list(first.words)
+        self._wid = {w: i for i, w in enumerate(self.words)}
+        for m in models.values():
+            for w in m.words:
+                if w not in self._wid:
+                    self._wid[w] = len(self.words)
+                    self.words.append(w)
+
+    def wid(self, word: str) -> int:
+        w = self._wid.get(word, -1)
+        if w < 0:
+            w = self._wid.get(word.lower(), -1)
+        return w
+
+    def score_word(self, word: str, hist_words) -> float:
+        """Interpolated weighted score in logmath units; hist_words is
+        the word-string history (oldest..newest)."""
+        acc = None
+        for name, m in self.models.items():
+            hist = [m.wid(h) for h in hist_words]
+            hist = [h for h in hist if h >= 0]
+            if hasattr(m, "score_word"):
+                s = m.score_word(word, hist)
+            else:
+                w = m.wid(word)
+                if w < 0:
+                    continue
+                s = m.raw_score(w, hist) * m.lw + m.log_wip
+            t = self.lweights[name] + s
+            if acc is None:
+                acc = t
+            else:
+                # log-add in base-1.0001 log domain
+                acc = math.log(math.exp(acc * LN_BASE)
+                               + math.exp(t * LN_BASE)) / LN_BASE
+        return acc if acc is not None else float("-inf")
+
+
 class NgramModelSet:
-    """Named collection of LMs with one active (ngram_model_set):
-    supports -lmctl/-lmname and runtime switching."""
+    """Named collection of LMs with one active OR interpolated
+    (ngram_model_set): supports -lmctl/-lmname, runtime switching
+    (ngram_model_set_select) and weighted interpolation
+    (ngram_model_set_interp, src/lm/ngram_model_set.c:494)."""
 
     def __init__(self, lw: float = 1.0, wip: float = 1.0):
         self.models: dict[str, NgramModel | ClassNgramModel] = {}
         self.active: str | None = None
         self.lw = lw
         self.wip = wip
+        #: per-model interpolation log-weights (logmath units);
+        #: initialized uniform as models are added (ngram_model_set_init)
+        self.lweights: dict[str, float] = {}
+        self.interpolating = False
 
     @classmethod
     def read_lmctl(cls, path: str, lw: float = 1.0,
@@ -130,23 +188,55 @@ class NgramModelSet:
             if class_names:
                 use = {n: probdefs[n] for n in class_names if n in probdefs}
                 m = ClassNgramModel(m, use)
-            ms.models[name] = m
-            if ms.active is None:
-                ms.active = name
+            ms.add(name, m)
         return ms
 
-    def add(self, name: str, model):
+    def add(self, name: str, model, weight: float = 1.0,
+            reuse_widmap: bool = False):
+        """Add a model; interpolation weights renormalize like
+        ngram_model_set_add (new = weight/n, others scaled by 1-new)."""
         self.models[name] = model
-        if self.active is None:
+        n = len(self.models)
+        fprob = min(max(weight * 1.0 / n, 1e-30), 1.0 - 1e-12) \
+            if n > 1 else 1.0
+        scale = math.log(1.0 - fprob) / LN_BASE if n > 1 else 0.0
+        for k in self.lweights:
+            self.lweights[k] += scale
+        self.lweights[name] = math.log(fprob) / LN_BASE
+        if self.active is None and not self.interpolating:
             self.active = name
+
+    def interp(self, names=None, weights=None):
+        """Enable interpolated scoring (ngram_model_set_interp): with
+        (names, weights) set those models' weights (linear probs,
+        renormalized over the full set is the caller's concern, as in
+        the reference); with neither, just enable existing weights.
+        Returns the InterpolatedNgramModel facade."""
+        if names is not None and weights is not None:
+            for n, w in zip(names, weights):
+                if n not in self.models:
+                    raise KeyError(f"Unknown LM name {n!r}")
+                self.lweights[n] = math.log(max(w, 1e-30)) / LN_BASE
+        elif weights is not None:
+            for k, w in zip(list(self.models), weights):
+                self.lweights[k] = math.log(max(w, 1e-30)) / LN_BASE
+        elif not self.lweights:
+            u = math.log(1.0 / max(len(self.models), 1)) / LN_BASE
+            self.lweights = {k: u for k in self.models}
+        self.interpolating = True
+        self.active = None                 # cur = -1
+        return InterpolatedNgramModel(self.models, dict(self.lweights))
 
     def select(self, name: str):
         if name not in self.models:
             raise KeyError(f"No LM named {name!r}")
         self.active = name
+        self.interpolating = False
         return self.models[name]
 
     def current(self):
+        if self.interpolating:
+            return InterpolatedNgramModel(self.models, dict(self.lweights))
         return self.models[self.active] if self.active else None
 
     def __iter__(self):

@@ -101,6 +101,38 @@ class NgramModel:
         self._succ_cache.clear()
         return self
 
+    def add_word(self, word: str, weight: float = 1.0) -> int:
+        """Add `word` as a new unigram with raw probability
+        weight/(n_unigrams+1), no backoff weight and no bigram children
+        (ngram_model_add_word src/lm/ngram_model.c:662 +
+        lm_trie_add_ug src/lm/ngram_model_trie.c:745).  Existing
+        unigrams are deliberately NOT renormalized, matching the
+        reference.  Returns the new (or existing) word id."""
+        if word in self._wid:
+            import warnings
+            warnings.warn(f"Omit duplicate word {word!r}")
+            return self._wid[word]
+        V = self.counts[0]
+        wid = V
+        self.words = list(self.words) + [word]
+        lweight = np.float32(
+            (math.log(max(weight, 1e-30)) + math.log(1.0 / (V + 1)))
+            / LN_BASE)
+        # insert before any sentinel slots the trie reader may keep
+        self.lv_prob[0] = np.insert(self.lv_prob[0], V, lweight)
+        self.lv_bo[0] = np.insert(self.lv_bo[0], V, np.float32(0.0))
+        self.lv_words[0] = np.arange(len(self.lv_prob[0]), dtype=np.int64)
+        if self.order >= 2 and len(self.lv_next) \
+                and self.lv_next[0] is not None:
+            nxt = self.lv_next[0]
+            ins = nxt[V] if V < len(nxt) else nxt[-1]
+            self.lv_next[0] = np.insert(nxt, V, ins)  # zero children
+        self.counts[0] = V + 1
+        self._wid[word] = wid
+        self._maps = [None] * self.order
+        self._succ_cache.clear()
+        return wid
+
     # -- entry lookup --------------------------------------------------------
 
     def _level_map(self, level: int) -> dict:

@@ -84,16 +84,23 @@ class DecodeStats:
 
 def log_xrt(name: str, timer: Timer, n_speech: float,
             stream=None, loglevel: str = "INFO"):
-    """Reference-style per-pass xRT lines (src/ngram_search.c:866-871)."""
+    """Reference-style per-pass xRT lines (src/ngram_search.c:866-871),
+    routed through the err subsystem (logfn/callback redirection)
+    unless an explicit stream is given."""
     if loglevel not in ("INFO", "DEBUG"):
         return
-    stream = stream or sys.stderr
     if n_speech <= 0:
         return
-    stream.write(f"INFO: {name} {timer.t_cpu:.2f} CPU "
-                 f"{timer.t_cpu / n_speech:.3f} xRT\n")
-    stream.write(f"INFO: {name} {timer.t_elapsed:.2f} wall "
-                 f"{timer.t_elapsed / n_speech:.3f} xRT\n")
+    l1 = (f"{name} {timer.t_cpu:.2f} CPU "
+          f"{timer.t_cpu / n_speech:.3f} xRT")
+    l2 = (f"{name} {timer.t_elapsed:.2f} wall "
+          f"{timer.t_elapsed / n_speech:.3f} xRT")
+    if stream is not None:
+        stream.write(f"INFO: {l1}\nINFO: {l2}\n")
+        return
+    from . import err
+    err.E_INFO(l1)
+    err.E_INFO(l2)
 
 
 @dataclass

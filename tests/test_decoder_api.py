@@ -233,3 +233,29 @@ def test_lattice_failure_warns_not_silent(pcm, monkeypatch):
     monkeypatch.setenv("PS_DEBUG", "1")
     with pytest.raises(ValueError, match="corrupted record stream"):
         d.decode_raw(pcm)
+
+
+def test_logfn_and_err_callback(pcm, tmp_path):
+    """-logfn writes reference-style leveled lines; err_set_callback
+    redirects them (src/util/err.c:305, err.h:135)."""
+    from pocketsphinx_tpu import err
+
+    logf = tmp_path / "decode.log"
+    d = Decoder(hmm=str(EN_US), lm=str(DATADIR / "turtle.lm.bin"),
+                dict=str(DATADIR / "turtle.dic"), bestpath=False,
+                logfn=str(logf), loglevel="INFO")
+    assert d.decode_raw(pcm).hypstr == "go forward ten meters"
+    err.set_logfile(None)          # release the file
+    text = logf.read_text()
+    assert "INFO: Initializing decoder" in text
+    assert "xRT" in text           # per-pass timing lines
+    # callback redirection captures messages instead of the stream
+    got = []
+    err.set_callback(lambda lvl, msg: got.append((lvl, msg)))
+    err.set_loglevel("INFO")
+    err.E_INFO("hello there")
+    err.E_DEBUG("hidden")          # below level
+    err.set_callback(None)
+    err.set_loglevel("WARN")
+    assert ("INFO", "hello there") in got
+    assert all(m != "hidden" for _, m in got)
