@@ -70,7 +70,9 @@ def __getattr__(name):
         return _V
     if name == "err":
         # logging subsystem (err_set_loglevel/logfile/callback parity,
-        # include/pocketsphinx/err.h)
-        from . import err as _e
-        return _e
+        # include/pocketsphinx/err.h).  importlib, not `from . import`:
+        # the latter re-enters this __getattr__ before the submodule is
+        # registered and recurses.
+        import importlib
+        return importlib.import_module(".err", __name__)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
