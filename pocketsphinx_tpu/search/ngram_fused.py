@@ -692,10 +692,31 @@ class NgramFusedDecoder:
                  ctx2h2_np[:, None].astype(np.float32)], axis=1)
         else:
             sp = self._lm_sparse
-            dev_tables["tg_cols"] = sp["tg_cols"]
-            dev_tables["tg_vals"] = sp["tg_vals"]
             S_TRI = sp["S_max"]
             N_BG = sp["n_bg"]
+            # Trigram corrections as PADDED 2D row tables when memory
+            # allows: the per-K fetch becomes a bandwidth-bound row
+            # gather instead of an arbitrary-offset flat-array element
+            # gather (measured 0.15 G elem/s latency-bound, ~0.6 ms/step
+            # at the 20k config; round-5 xprof fusion.437/.438).
+            tg2d_budget = int(os.environ.get("PS_TG2D_BYTES", 1 << 30))
+            TG2D = bool(S_TRI and N_BG
+                        and N_BG * S_TRI * 8 <= tg2d_budget)
+            if TG2D:
+                tgcn = sp["tgc_next"].astype(np.int64)
+                n_tg = int(tgcn[-1])
+                cnts = tgcn[1:] - tgcn[:-1]
+                rows_i = np.repeat(np.arange(N_BG), cnts)
+                within = np.arange(n_tg) - np.repeat(tgcn[:-1], cnts)
+                tg2c = np.zeros((N_BG, S_TRI), np.int32)
+                tg2v = np.zeros((N_BG, S_TRI), np.float32)
+                tg2c[rows_i, within] = sp["tg_cols"][:n_tg]
+                tg2v[rows_i, within] = sp["tg_vals"][:n_tg]
+                dev_tables["tg2c"] = tg2c
+                dev_tables["tg2v"] = tg2v
+            else:
+                dev_tables["tg_cols"] = sp["tg_cols"]
+                dev_tables["tg_vals"] = sp["tg_vals"]
             if mode_csr:
                 dev_tables["uni_row"] = sp["uni_row"]      # [E] f32
                 dev_tables["umeta"] = sp["umeta"]          # [V+1, 4] i32
@@ -909,6 +930,8 @@ class NgramFusedDecoder:
             rows_tab = tables.get("rows")
             bg_tab = tables.get("bg")
             bgmeta_tab = tables.get("bgmeta")
+            tg2c_j = tables.get("tg2c")
+            tg2v_j = tables.get("tg2v")
             ctx_next = tables.get("ctx_next")
             uni_tab = tables.get("uni_row")
             umeta_tab = tables.get("umeta")
@@ -1163,12 +1186,16 @@ class NgramFusedDecoder:
                     lmrow = base + jnp.where(is_tri, bo2w_v,
                                              0.0)[:, None]
                     if S_TRI:
-                        start = meta[:, 3]
                         cnt = meta[:, 4]
-                        pos0 = start[:, None] + jnp.arange(
-                            S_TRI, dtype=jnp.int32)[None, :]
-                        wc = jnp.take(tgc_j, pos0)                   # [K, S]
-                        wv = jnp.take(tgv_j, pos0)
+                        if tg2c_j is not None:
+                            wc = jnp.take(tg2c_j, b, axis=0)         # [K, S]
+                            wv = jnp.take(tg2v_j, b, axis=0)
+                        else:
+                            start = meta[:, 3]
+                            pos0 = start[:, None] + jnp.arange(
+                                S_TRI, dtype=jnp.int32)[None, :]
+                            wc = jnp.take(tgc_j, pos0)               # [K, S]
+                            wv = jnp.take(tgv_j, pos0)
                         pos = jax.lax.broadcasted_iota(
                             jnp.int32, (K, S_TRI), 1)
                         ok = (pos < cnt[:, None]) & is_tri[:, None]
