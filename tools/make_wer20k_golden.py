@@ -33,15 +33,18 @@ def write_wav(path, pcm):
         f.write(b"data" + struct.pack("<I", len(data)) + data)
 
 
-corpus = build_corpus(REF)
+from pocketsphinx_tpu.evalcorpus import TARGET_WORDS
+
+corpus = build_corpus(REF, min_words=TARGET_WORDS)
 print(f"corpus: {len(corpus)} utts, "
       f"{sum(len(w) for _, _, w in corpus)} ref words, "
       f"{sum(len(p) for _, p, _ in corpus) / 16000.0:.1f} audio-s")
 
-results = {}
-refs, hyps = [], []
 tmpdir = tempfile.mkdtemp(prefix="wer20k-")
-for name, pcm, ref_words in corpus:
+
+
+def decode_one(entry):
+    name, pcm, ref_words = entry
     audio = os.path.join(tmpdir, name + ".wav")
     write_wav(audio, pcm)
     out = subprocess.run(
@@ -50,15 +53,25 @@ for name, pcm, ref_words in corpus:
          "-dict", HERE + "/bench_data/bench-20k.dic",
          "single", audio],
         capture_output=True, text=True, check=True).stdout
-    hyp = json.loads(out)["t"].split()
-    c, s, i, d, _ = align_words(ref_words, hyp)
-    results[name] = dict(hyp=" ".join(hyp), ref=" ".join(ref_words),
-                         n_ref=len(ref_words), n_corr=c, n_sub=s,
-                         n_ins=i, n_del=d)
-    refs.append(ref_words)
-    hyps.append(hyp)
-    print(f"{name}: WER {(s + i + d) / max(len(ref_words), 1):.3f} "
-          f"({s}s {i}i {d}d / {len(ref_words)})", flush=True)
+    os.unlink(audio)
+    return name, ref_words, json.loads(out)["t"].split()
+
+
+from concurrent.futures import ThreadPoolExecutor
+
+results = {}
+refs, hyps = [], []
+nproc = max(os.cpu_count() or 1, 1)
+with ThreadPoolExecutor(max_workers=nproc) as ex:
+    for name, ref_words, hyp in ex.map(decode_one, corpus):
+        c, s, i, d, _ = align_words(ref_words, hyp)
+        results[name] = dict(hyp=" ".join(hyp), ref=" ".join(ref_words),
+                             n_ref=len(ref_words), n_corr=c, n_sub=s,
+                             n_ins=i, n_del=d)
+        refs.append(ref_words)
+        hyps.append(hyp)
+        print(f"{name}: WER {(s + i + d) / max(len(ref_words), 1):.3f} "
+              f"({s}s {i}i {d}d / {len(ref_words)})", flush=True)
 agg = wer(refs, hyps)
 results["_aggregate"] = agg
 print("reference aggregate WER:", round(agg["wer"], 4))
