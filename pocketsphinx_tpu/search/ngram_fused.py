@@ -494,7 +494,8 @@ class NgramFusedDecoder:
             # scatters in-scan; histories with giant fanout (<s>) get
             # dense "fat" rows; trigram corrections as in mode B.
             return self._lm_tables_csr(cols_E)
-        if lm.order < 3 or n_bg == 0 or R * self.nE * 4 <= budget:
+        if lm.order < 3 or n_bg == 0 or (
+                force != "sparse" and R * self.nE * 4 <= budget):
             # mode A: one dense successor row per history class
             self.lm_mode = "rows"
             rows, with_tri = lm.dense_context_rows(cols_E, budget)

@@ -25,7 +25,11 @@ from pocketsphinx_tpu.search.ngram_fused import NgramFusedDecoder
 
 from conftest import DATADIR, EN_US, require_model
 
-INT_RECS = [1, 2, 3, 5, 6, 7, 9]          # etf/etgt/ecx/eprw/erw1/erw2/viol
+# etf/etgt/ecx/eprw/erw1/erw2.  The guard count (rec 9, "viol") is a
+# diagnostic, not decode semantics: modes rows/sparse use the tightened
+# per-predecessor bound while csr falls back to the global bound, so
+# counts legitimately differ across modes.
+INT_RECS = [1, 2, 3, 5, 6, 7]
 REC_NAMES = ["escore", "etf", "etgt", "ecx", "entv", "eprw",
              "erw1", "erw2", "m", "viol"]
 
