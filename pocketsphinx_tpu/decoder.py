@@ -391,7 +391,12 @@ class Decoder:
             svspec=self.config["svspec"], cmn=self.config["cmn"],
             cmn_state=self.cmn_state)
         search = self._searches[self._active]
-        scan = search._make_scan()
+        try:
+            # carry masking keeps padded block tails from advancing the
+            # carry (the fused decoder's streaming contract)
+            scan = search._make_scan(mask_carry=True)
+        except TypeError:           # searches without the flag
+            scan = search._make_scan()
         self._stream_scan = scan.with_carry
         self._stream_carry = search.init_carry
         self._stream_recs = []

@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--batch", type=int, default=6)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--no-trace", action="store_true")
+    ap.add_argument("--minimal", action="store_true",
+                    help="top-K-compressed records (the corpus-bench "
+                         "path; full records OOM at B>=12 / 20k)")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +50,7 @@ def main():
         dic = os.path.join(here, f"bench_data/bench-{args.config}.dic")
         lmf = os.path.join(here, f"bench_data/bench-{args.config}.lm.bin")
     dec = build(ref, dic, lmf)
-    scan = dec._make_scan()
+    scan = dec._make_scan(minimal=args.minimal)
     print(f"W={dec.W} mode={dec.lm_mode}", flush=True)
 
     pcm = np.frombuffer(open(ref + "/test/data/goforward.raw", "rb").read(),
