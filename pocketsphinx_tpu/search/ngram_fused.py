@@ -947,15 +947,12 @@ class NgramFusedDecoder:
             dev_tables["tp_fin"] = self.tp_fin[:n_multi]
         if SP:
             dev_tables["tp_sp"] = self.tp_sp[:SP]
-        # Diphone->word expansion einsum precision: HIGHEST (bf16x6,
-        # default, bit-exact f32) vs HIGH (bf16x3, ~2x less MXU time;
-        # one-hot operand exact, senone-score operand reconstructed to
-        # ~2^-12 relative — measurably identical decodes on the bench
-        # tasks but not provably bit-exact, so opt-in).
-        expand_prec = (jax.lax.Precision.HIGH
-                       if os.environ.get("PS_EXPAND_PRECISION", "")
-                       .lower() == "high"
-                       else jax.lax.Precision.HIGHEST)
+        # Every one-hot matmul in the step runs through oh_matmul
+        # below: a 3-pass bf16 split that reconstructs the f32 result
+        # bit-exactly at half the MXU passes of Precision.HIGHEST
+        # (which the round-4 code used), making the round-4 opt-in
+        # PS_EXPAND_PRECISION fast mode obsolete — the exact path now
+        # matches its speed.
         # The Pallas fused chain kernel (ops/pallas_chain.py) was
         # measured and RETIRED from this path: even with the round-4
         # batch-folded block layout it loses to XLA's fusions on turtle
@@ -1018,6 +1015,26 @@ class NgramFusedDecoder:
             return c
 
         self.init_carry = init_carry()
+
+        def oh_matmul(sub, vals, onehot):
+            """Exact one-hot matmul in 3 bf16 passes: vals = a1+a2+a3
+            with each part bf16-exact and the 0/1 operand exact in
+            bf16, so the accumulated products reconstruct the f32
+            result bit-exactly — at half the MXU passes of
+            Precision.HIGHEST (bf16x6).  Used for every score/payload
+            einsum whose other operand is 0/1 (ops/pallas_fan.py uses
+            the same identity in-kernel; proof in its docstring)."""
+            oh = onehot.astype(jnp.bfloat16)
+            a1 = vals.astype(jnp.bfloat16)
+            r1 = vals - a1.astype(jnp.float32)
+            a2 = r1.astype(jnp.bfloat16)
+            a3 = (r1 - a2.astype(jnp.float32)).astype(jnp.bfloat16)
+            out = None
+            for a in (a1, a2, a3):
+                p = jnp.einsum(sub, a, oh,
+                               preferred_element_type=jnp.float32)
+                out = p if out is None else out + p
+            return out
 
         def first_select(vals, var, n):
             """One-hot select of per-variant planes: vals [RF, Wb],
@@ -1092,8 +1109,7 @@ class NgramFusedDecoder:
                     prev_d = seg_of(g, si_fv[bi])        # [3, RF, n_fd]
                     # expand per-diphone variant planes to words (exact
                     # one-hot f32 matmul; see senid_first_d in _build)
-                    prev = jnp.einsum("jvf,fw->jvw", prev_d, fd_oh[bi],
-                                      precision=expand_prec)
+                    prev = oh_matmul("jvf,fw->jvw", prev_d, fd_oh[bi])
                     fm = ch_fm[bi]                       # [D, Wb]
                     nv = ch_nv[bi]
                     sen = []
@@ -1141,8 +1157,7 @@ class NgramFusedDecoder:
                 elif n_multi:
                     e = carry["fin"]
                     pre_d = seg_of(g, si_fin)            # [3, n_rc, n_lp]
-                    pre = jnp.einsum("jrn,nw->jrw", pre_d, lp_oh,
-                                     precision=expand_prec)
+                    pre = oh_matmul("jrn,nw->jrw", pre_d, lp_oh)
                     sen = tuple(-pre[j] for j in range(NST))
                     newS, (nTF, nCTX), out_f, _, (oTF_f, oCTX_f) = hmm_step_sm(
                         e["S"], sen, tp_fin, metas=(e["TF"], e["CTX"]))
@@ -1232,18 +1247,15 @@ class NgramFusedDecoder:
                                       jnp.tile(esc_c[None], (n_rc, 1))], axis=1)
                 kv, ki = jax.lax.top_k(escore, K)
                 onek = (ki[:, None] == jnp.arange(W)[None, :]).astype(jnp.float32)
-                # per-K payloads via exact f32 matmul (values < 2^24)
-                HI = jax.lax.Precision.HIGHEST
+                # per-K payloads via exact one-hot matmul (ints < 2^24)
                 pay = jnp.stack([ecx_w.astype(jnp.float32),
                                  tables["fb_ci"]],
                                 axis=1)                              # [W, 2]
-                payk = jnp.einsum("kw,wp->kp", onek, pay, precision=HI)
+                payk = oh_matmul("wp,kw->kp", pay, onek)
                 ctx_k = payk[:, 0].astype(jnp.int32)
                 fb_k = payk[:, 1].astype(jnp.int32)
-                svk = jnp.einsum("kw,rw->kr", onek, sv,
-                                 precision=HI)                       # [K, n_rc]
-                exg = jnp.einsum("kr,er->ke", svk, f0_onehot,
-                                 precision=HI)                       # [K, E]
+                svk = oh_matmul("rw,kw->kr", sv, onek)           # [K, n_rc]
+                exg = oh_matmul("kr,er->ke", svk, f0_onehot)     # [K, E]
                 # Row fetches are batched jnp.take gathers: one gather
                 # kernel per table per step.  The round-3 idiom
                 # vmap(dynamic_slice) lowers per (batch, K) instance for
@@ -1366,8 +1378,7 @@ class NgramFusedDecoder:
                      rw1_k.astype(jnp.float32),
                      rw2_k.astype(jnp.float32),
                      fb_k.astype(jnp.float32)], axis=1)     # [K, 5]
-                sel = jnp.einsum("ke,kp->ep", U, pays_k,
-                                 precision=HI)              # [E, 5]
+                sel = oh_matmul("kp,ke->ep", pays_k, U)  # [E, 5]
                 prw_e, srcctx, srcrw1, srcrw2, fb_e = \
                     (sel[:, i] for i in range(5))
                 ctxsel = jnp.sum(U * ctxrow, axis=0)        # [E]
@@ -1519,11 +1530,11 @@ class NgramFusedDecoder:
                     # prefer </s> exactly like the full backtrace.
                     fi = (self.finish_idx
                           if self.finish_idx is not None else 0)
-                    payk2 = jnp.einsum(
-                        "kw,wp->kp", onek,
+                    payk2 = oh_matmul(
+                        "wp,kw->kp",
                         jnp.stack([etf_w.astype(jnp.float32),
                                    etgt_w.astype(jnp.float32)], axis=1),
-                        precision=HI)                     # [K, 2]
+                        onek)                             # [K, 2]
                     kv_x = jnp.concatenate([kv, escore[fi][None]])
                     ki_x = jnp.concatenate(
                         [ki.astype(jnp.int32), jnp.int32(fi)[None]])
