@@ -524,6 +524,23 @@ class Decoder:
                                    uttid + ".sen"), costs,
                       mdef_file=self.config["mdef"] or "none")
 
+    def set_rawdata_size(self, size: int):
+        """Retain up to `size` samples of utterance PCM for
+        get_rawdata().  Binding-compatibility seam: the 5.1.1 C API
+        dropped ps_set_rawdata_size, but the historic Python Decoder
+        exposed it for VAD-less re-decode workflows; the raw buffer
+        already exists here (process_raw accumulates it)."""
+        self._rawdata_size = max(int(size), 0)
+
+    def get_rawdata(self):
+        """The current/last utterance's raw PCM (int16), truncated to
+        the newest set_rawdata_size samples if one was set."""
+        if not self._raw:
+            return np.zeros(0, np.int16)
+        pcm = np.concatenate(self._raw)
+        n = getattr(self, "_rawdata_size", 0)
+        return pcm[-n:] if n else pcm
+
     def decode_raw(self, data) -> Hypothesis | None:
         self.start_utt()
         self.process_raw(data, full_utt=True)

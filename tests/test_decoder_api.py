@@ -259,3 +259,18 @@ def test_logfn_and_err_callback(pcm, tmp_path):
     err.set_loglevel("WARN")
     assert ("INFO", "hello there") in got
     assert all(m != "hidden" for _, m in got)
+
+
+def test_rawdata_seam(pcm):
+    """set_rawdata_size/get_rawdata binding seam: the utterance's raw
+    PCM is retrievable after decoding (legacy Decoder API)."""
+    d = Decoder(hmm=str(EN_US), lm=str(DATADIR / "turtle.lm.bin"),
+                dict=str(DATADIR / "turtle.dic"), bestpath=False)
+    d.decode_raw(pcm)
+    full = d.get_rawdata()
+    assert len(full) == len(pcm)
+    assert np.array_equal(full, pcm)
+    d.set_rawdata_size(1000)
+    tail = d.get_rawdata()
+    assert len(tail) == 1000
+    assert np.array_equal(tail, pcm[-1000:])
