@@ -99,3 +99,31 @@ def test_fan_step_vmap():
                             "ecx"], ref, got):
             np.testing.assert_array_equal(
                 np.asarray(r), np.asarray(g)[b], err_msg=f"{n} b={b}")
+
+
+def test_bf16x3_onehot_identity():
+    """The 3-pass bf16 value-split one-hot matmul reconstructs the f32
+    product bit-exactly (the identity ngram_fused.oh_matmul and the
+    fan kernel rely on), including extreme magnitudes and integers."""
+    rng = np.random.default_rng(5)
+    vals = np.concatenate([
+        rng.uniform(-1e5, 0, (7, 300)).astype(np.float32),
+        np.float32(rng.integers(0, 1 << 24, (7, 300))),
+        np.full((7, 300), NEG_INF, np.float32),
+    ], axis=0).astype(np.float32)                      # [21, 300]
+    idx = rng.integers(0, 300, 97)
+    oh = (idx[:, None] == np.arange(300)[None, :]).astype(np.float32)
+
+    v = jnp.asarray(vals)
+    ohb = jnp.asarray(oh).astype(jnp.bfloat16)
+    a1 = v.astype(jnp.bfloat16)
+    r1 = v - a1.astype(jnp.float32)
+    a2 = r1.astype(jnp.bfloat16)
+    a3 = (r1 - a2.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = None
+    for a in (a1, a2, a3):
+        p = jnp.einsum("vn,kn->vk", a, ohb,
+                       preferred_element_type=jnp.float32)
+        out = p if out is None else out + p
+    ref = vals[:, idx]                                 # exact selection
+    np.testing.assert_array_equal(np.asarray(out), ref)
