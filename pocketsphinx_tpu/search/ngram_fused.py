@@ -854,7 +854,7 @@ class NgramFusedDecoder:
         # inherit contexts).  Sound, and orders of magnitude tighter
         # than the round-4 per-column max (guard_unproven).
         guard_budget = int(os.environ.get("PS_GUARD_BYTES", 3 << 30))
-        GJ = int(os.environ.get("PS_GUARD_TOPJ", "4"))
+        GJ = int(os.environ.get("PS_GUARD_TOPJ", "8"))
         guard_np = None
         if K < W and GJ > 0 and self.W * self.nE * 4 <= guard_budget:
             guard_np = self._guard_tables(
@@ -865,6 +865,17 @@ class NgramFusedDecoder:
             dev_tables["guard_v"] = gv_t              # [J, E] f32
             dev_tables["guard_rest"] = grest_t        # [E] f32
             dev_tables["guard_fillw"] = fillw_t       # [n_fill] i32
+            # flattened [n_rc, W] indices of each contributor's exit AT
+            # THE COLUMN'S right-context plane: an excluded exit of w
+            # enters column e with sv[f0(e), w] <= escore[w] — strictly
+            # tighter than the word's best-over-rc exit score
+            dev_tables["guard_wf"] = (
+                self.f0p_E[None, :].astype(np.int64) * W
+                + gw_t.astype(np.int64)).astype(np.int32)
+            if len(fillw_t):
+                dev_tables["guard_fillwf"] = (
+                    self.f0p_E[None, :].astype(np.int64) * W
+                    + fillw_t[:, None].astype(np.int64)).astype(np.int32)
         # Every W/E-proportional structural array below goes through
         # dev_tables as a jit ARGUMENT, not a captured constant: at
         # 135k words the tp/one-hot/senone-id constants alone exceed
@@ -1016,6 +1027,8 @@ class NgramFusedDecoder:
 
         self.init_carry = init_carry()
 
+        _oh_mode = os.environ.get("PS_OH_MATMUL", "bf16x3")
+
         def oh_matmul(sub, vals, onehot):
             """Exact one-hot matmul in 3 bf16 passes: vals = a1+a2+a3
             with each part bf16-exact and the 0/1 operand exact in
@@ -1024,15 +1037,29 @@ class NgramFusedDecoder:
             Precision.HIGHEST (bf16x6).  Used for every score/payload
             einsum whose other operand is 0/1 (ops/pallas_fan.py uses
             the same identity in-kernel; proof in its docstring)."""
+            if _oh_mode == "hi":        # A/B fallback: bf16x6
+                return jnp.einsum(sub, vals, onehot,
+                                  precision=jax.lax.Precision.HIGHEST)
+            # EVERY bf16 cast and partial product is wrapped in an
+            # optimization_barrier: the TPU toolchain compiles with
+            # --xla_allow_excess_precision=true, under which XLA
+            # deletes f32->bf16->f32 convert pairs (collapsing the
+            # three splits into one plain-bf16 dot) and refolds
+            # dot(a1,oh)+dot(a2,oh)+dot(a3,oh) into dot(a1+a2+a3,oh).
+            # Either rewrite silently destroys the exactness this
+            # split exists for (observed: corrupted integer payloads,
+            # 68% WER).  Verified bit-exact on-chip with the barriers;
+            # tests/test_pallas_fan.py pins the identity.
+            bar = jax.lax.optimization_barrier
             oh = onehot.astype(jnp.bfloat16)
-            a1 = vals.astype(jnp.bfloat16)
+            a1 = bar(vals.astype(jnp.bfloat16))
             r1 = vals - a1.astype(jnp.float32)
-            a2 = r1.astype(jnp.bfloat16)
-            a3 = (r1 - a2.astype(jnp.float32)).astype(jnp.bfloat16)
+            a2 = bar(r1.astype(jnp.bfloat16))
+            a3 = bar((r1 - a2.astype(jnp.float32)).astype(jnp.bfloat16))
             out = None
             for a in (a1, a2, a3):
-                p = jnp.einsum(sub, a, oh,
-                               preferred_element_type=jnp.float32)
+                p = bar(jnp.einsum(sub, a, oh,
+                                   preferred_element_type=jnp.float32))
                 out = p if out is None else out + p
             return out
 
@@ -1462,14 +1489,16 @@ class NgramFusedDecoder:
                     best_alt = jnp.maximum(entry, inc_E)
                     gw_t = tables.get("guard_w")
                     if gw_t is not None:
-                        # tightened bound: exact live exit scores for
+                        # tightened bound: exact live exit scores (at
+                        # the entry column's right-context plane) for
                         # the per-column top-J bonus predecessors (top-K
                         # members excluded — their candidates were
                         # computed exactly), kv[K-1] + (J+1)-th bonus
                         # for every other word, exact filler exits with
                         # the global bound (see _guard_tables)
                         intop = jnp.max(onek, axis=0)        # [W] 0/1
-                        ce = jnp.take(escore, gw_t, axis=0)  # [J, E]
+                        svf = sv.reshape(-1)                 # [n_rc*W]
+                        ce = jnp.take(svf, tables["guard_wf"])  # [J, E]
                         live = jnp.take(intop, gw_t, axis=0) < 0.5
                         breal = jnp.max(
                             jnp.where(live, ce + tables["guard_v"],
@@ -1478,10 +1507,12 @@ class NgramFusedDecoder:
                             breal, kv[K - 1] + tables["guard_rest"])
                         fillw_t = tables["guard_fillw"]
                         if fillw_t.shape[0]:
-                            fe = jnp.take(escore, fillw_t)
-                            flive = jnp.take(intop, fillw_t) < 0.5
+                            fsv = jnp.take(svf, tables["guard_fillwf"])
+                            flive = (jnp.take(intop, fillw_t)
+                                     < 0.5)[:, None]
                             fbest = jnp.max(jnp.where(
-                                flive, fe, jnp.float32(NEG_INF)))
+                                flive, fsv, jnp.float32(NEG_INF)),
+                                axis=0)                      # [E]
                             breal = jnp.maximum(breal, fbest + maxb_E)
                         bound = jnp.where(isfill_E,
                                           kv[K - 1] + fillpen_E,
