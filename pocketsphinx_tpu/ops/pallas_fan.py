@@ -207,6 +207,10 @@ def _fan_call(S, TF, CX, pred, ptf, pcx, pre, lp, tp, n_real,
             jax.ShapeDtypeStruct((B, 1, Wp), jnp.int32),
         ],
         interpret=interpret,
+        # carry planes update in place: without aliasing XLA inserts
+        # full copies of the [3, NRC, W] S/TF/CX buffers around the
+        # kernel inside the scan body (~0.35 ms/step at 20k words)
+        input_output_aliases={0: 0, 1: 1, 2: 2},
     )(Sp, TFp, CXp, predp, ptfp, pcxp, prep, lpp, tpp)
     nS, nTF, nCX, oF, eS, eTF, eCX = outs
     # with keep_padded the carry planes round-trip at the padded width
