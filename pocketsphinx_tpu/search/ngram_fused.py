@@ -872,6 +872,7 @@ class NgramFusedDecoder:
             dev_tables["guard_wf"] = (
                 self.f0p_E[None, :].astype(np.int64) * W
                 + gw_t.astype(np.int64)).astype(np.int32)
+            dev_tables["f0p_E"] = self.f0p_E.astype(np.int32)
             if len(fillw_t):
                 dev_tables["guard_fillwf"] = (
                     self.f0p_E[None, :].astype(np.int64) * W
@@ -1027,7 +1028,11 @@ class NgramFusedDecoder:
 
         self.init_carry = init_carry()
 
-        _oh_mode = os.environ.get("PS_OH_MATMUL", "bf16x3")
+        # small configs are kernel-count-bound (docs/PERF_NOTES.md):
+        # one bf16x6 dot beats three barriered bf16 dots there; large
+        # configs are FLOP-bound and the 3-pass split wins
+        _oh_mode = os.environ.get(
+            "PS_OH_MATMUL", "bf16x3" if W >= 4000 else "hi")
 
         def oh_matmul(sub, vals, onehot):
             """Exact one-hot matmul in 3 bf16 passes: vals = a1+a2+a3
@@ -1503,8 +1508,17 @@ class NgramFusedDecoder:
                         breal = jnp.max(
                             jnp.where(live, ce + tables["guard_v"],
                                       jnp.float32(NEG_INF)), axis=0)
+                        # plane-local floor for every other word: the
+                        # best EXCLUDED exit at the column's own
+                        # right-context plane (<= kv[K-1], usually far
+                        # less for weak planes)
+                        sv_excl = jnp.where(intop[None, :] > 0,
+                                            jnp.float32(NEG_INF), sv)
+                        svmax_excl = jnp.max(sv_excl, axis=1)  # [n_rc]
+                        plane_E = jnp.take(svmax_excl,
+                                           tables["f0p_E"])   # [E]
                         breal = jnp.maximum(
-                            breal, kv[K - 1] + tables["guard_rest"])
+                            breal, plane_E + tables["guard_rest"])
                         fillw_t = tables["guard_fillw"]
                         if fillw_t.shape[0]:
                             fsv = jnp.take(svf, tables["guard_fillwf"])
