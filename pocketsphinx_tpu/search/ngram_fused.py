@@ -676,6 +676,7 @@ class NgramFusedDecoder:
             empty_row = BMAX[V].copy()
         else:
             return None                                 # mode C: fallback
+        self._guard_bmax = BMAX                         # [V+1, E] f32
         cand = BMAX[np.minimum(self.col_lm, V)]         # [W, E]
         cand[self.is_fill] = -np.inf
         cand[self.lm_wid < 0] = -np.inf
@@ -855,6 +856,7 @@ class NgramFusedDecoder:
         # than the round-4 per-column max (guard_unproven).
         guard_budget = int(os.environ.get("PS_GUARD_BYTES", 3 << 30))
         GJ = int(os.environ.get("PS_GUARD_TOPJ", "8"))
+        GM = 0
         guard_np = None
         if K < W and GJ > 0 and self.W * self.nE * 4 <= guard_budget:
             guard_np = self._guard_tables(
@@ -873,6 +875,23 @@ class NgramFusedDecoder:
                 self.f0p_E[None, :].astype(np.int64) * W
                 + gw_t.astype(np.int64)).astype(np.int32)
             dev_tables["f0p_E"] = self.f0p_E.astype(np.int32)
+            # dynamic-rank refinement: with the full per-newest-word
+            # bonus table on device, exits at ranks K..K+M get their
+            # EXACT per-word bonus and the rest-floor drops from
+            # kv[K-1] to kv[K+M-1]
+            GM = int(os.environ.get("PS_GUARD_TOPM", "64"))
+            bmax_budget = int(os.environ.get("PS_GUARD_BMAX_BYTES",
+                                             2 << 30))
+            bmax_tab = getattr(self, "_guard_bmax", None)
+            if GM > 0 and bmax_tab is not None \
+                    and bmax_tab.nbytes <= bmax_budget and K + GM < W:
+                dev_tables["guard_bmax"] = bmax_tab.astype(np.float32)
+                dev_tables["col_lm_W"] = np.minimum(
+                    self.col_lm, self.V).astype(np.int32)
+                dev_tables["isfill_W"] = self.is_fill
+            else:
+                GM = 0
+            self._guard_bmax = None          # free the host copy
             if len(fillw_t):
                 dev_tables["guard_fillwf"] = (
                     self.f0p_E[None, :].astype(np.int64) * W
@@ -1277,7 +1296,10 @@ class NgramFusedDecoder:
                         etgt_w[:n_multi], etg_s, etgt_w[n_multi + self.n_single:]])
                 sv = jnp.concatenate([sv_m, sv_s,
                                       jnp.tile(esc_c[None], (n_rc, 1))], axis=1)
-                kv, ki = jax.lax.top_k(escore, K)
+                # K+GM ranks: the word-transition block consumes the
+                # first K; ranks K..K+GM refine the exactness guard
+                kv2, ki2 = jax.lax.top_k(escore, K + GM)
+                kv, ki = kv2[:K], ki2[:K]
                 onek = (ki[:, None] == jnp.arange(W)[None, :]).astype(jnp.float32)
                 # per-K payloads via exact one-hot matmul (ints < 2^24)
                 pay = jnp.stack([ecx_w.astype(jnp.float32),
@@ -1517,8 +1539,28 @@ class NgramFusedDecoder:
                         svmax_excl = jnp.max(sv_excl, axis=1)  # [n_rc]
                         plane_E = jnp.take(svmax_excl,
                                            tables["f0p_E"])   # [E]
+                        if GM:
+                            # ranks K..K+GM: exact per-word bonus rows
+                            # (fillers inherit contexts -> global maxb)
+                            wm = ki2[K:]                      # [M]
+                            svm = jnp.take(
+                                svf, wm[:, None]
+                                + tables["f0p_E"][None, :] * W)
+                            lmw = jnp.take(tables["col_lm_W"], wm)
+                            brow = jnp.take(tables["guard_bmax"],
+                                            lmw, axis=0)      # [M, E]
+                            isf = jnp.take(tables["isfill_W"], wm)
+                            brow = jnp.where(isf[:, None],
+                                             maxb_E[None, :], brow)
+                            breal = jnp.maximum(
+                                breal, jnp.max(svm + brow, axis=0))
+                            rest_kv = kv2[K + GM - 1]
+                        else:
+                            rest_kv = kv[K - 1]
                         breal = jnp.maximum(
-                            breal, plane_E + tables["guard_rest"])
+                            breal,
+                            jnp.minimum(plane_E, rest_kv)
+                            + tables["guard_rest"])
                         fillw_t = tables["guard_fillw"]
                         if fillw_t.shape[0]:
                             fsv = jnp.take(svf, tables["guard_fillwf"])
