@@ -67,17 +67,35 @@ def main():
     ENTRY_RECS = [(4, "entv"), (5, "eprw"), (6, "erw1"), (7, "erw2")]
     out = {}
     all_ok = True
+    path = os.path.join(here, "tests/golden/wer20k/oracle.json")
+
+    def flush():
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+
     for name, pcm, _ in corpus:
         feats = compute_feats(fe.process(pcm), cmn="batch")
         t0 = time.time()
-        hyp_p, segs_p = dec.decode(feats)
-        raw_p = dec.raw_records
-        guard_p = dec.guard_violations
-        t_p = time.time() - t0
-        t0 = time.time()
-        hyp_u, segs_u = dec_u.decode(feats)
-        raw_u = dec_u.raw_records
-        t_u = time.time() - t0
+        try:
+            hyp_p, segs_p = dec.decode(feats)
+            raw_p = dec.raw_records
+            guard_p = dec.guard_violations
+            t_p = time.time() - t0
+            t0 = time.time()
+            hyp_u, segs_u = dec_u.decode(feats)
+            raw_u = dec_u.raw_records
+            t_u = time.time() - t0
+        except Exception as e:
+            # K=W decoding of long utterances exhausts HBM (full [T, W]
+            # records x2 decoders + unpruned [W, E] transition blocks)
+            out[name] = {"skipped": f"OOM/err: {e!r:.100}"}
+            print(f"{name}: SKIPPED ({e!r:.80})", flush=True)
+            dec.raw_records = None
+            dec.records = None
+            dec_u.raw_records = None
+            dec_u.records = None
+            flush()
+            continue
         T = len(feats)
         rec = {"hyp_equal": hyp_p == hyp_u,
                "segs_equal": [(s.word, s.start, s.end) for s in segs_p]
@@ -104,17 +122,18 @@ def main():
         dec.records = None
         dec_u.raw_records = None
         dec_u.records = None
+        flush()
 
     out["_summary"] = {
         "n_utts": len(corpus), "K_prod": 96, "W": dec.W,
         "all_exit_streams_exact": all_ok,
         "guard_unproven_total": sum(
-            v["guard_unproven_K96"] for k, v in out.items()
+            v.get("guard_unproven_K96", 0) for k, v in out.items()
             if not k.startswith("_")),
+        "n_skipped": sum(1 for k, v in out.items()
+                         if not k.startswith("_") and "skipped" in v),
     }
-    path = os.path.join(here, "tests/golden/wer20k/oracle.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+    flush()
     print(f"wrote {path}; all_exit_streams_exact={all_ok}", flush=True)
 
 
