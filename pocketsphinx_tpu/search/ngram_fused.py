@@ -989,10 +989,16 @@ class NgramFusedDecoder:
         # batch-folded block layout it loses to XLA's fusions on turtle
         # B=512 (4.34 vs 3.79 ms/step; docs/PERF_NOTES.md).  The kernel
         # and its exactness tests remain as a validated study.
+        # large-vocab configs amortize outer-scan overhead with a
+        # bigger chunk (32 measured -5%/step at 20k); small configs
+        # keep 16 — the [CH, B, N_flat] pre-gather buffer scales with
+        # CH and large-B small-W decodes (turtle B=512) are
+        # memory-sensitive there
+        default_ch = 32 if n_multi >= 4000 else self.CHUNK
         try:
-            CH = int(os.environ.get("PS_NGRAM_CHUNK", self.CHUNK))
+            CH = int(os.environ.get("PS_NGRAM_CHUNK", default_ch))
         except ValueError:
-            CH = self.CHUNK
+            CH = default_ch
 
         def tens3(shape, val=BIG_NEG, dtype=np.float32):
             return tuple(jnp.full(shape, val, dtype) for _ in range(NST))
