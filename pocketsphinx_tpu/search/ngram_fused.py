@@ -989,16 +989,15 @@ class NgramFusedDecoder:
         # batch-folded block layout it loses to XLA's fusions on turtle
         # B=512 (4.34 vs 3.79 ms/step; docs/PERF_NOTES.md).  The kernel
         # and its exactness tests remain as a validated study.
-        # large-vocab configs amortize outer-scan overhead with a
-        # bigger chunk (32 measured -5%/step at 20k); small configs
-        # keep 16 — the [CH, B, N_flat] pre-gather buffer scales with
-        # CH and large-B small-W decodes (turtle B=512) are
-        # memory-sensitive there
-        default_ch = 32 if n_multi >= 4000 else self.CHUNK
+        # CHUNK=32 measured -5%/step at 20k but the [CH, B, N_flat]
+        # pre-gather buffer (tile-padded ~4x) plus the guard tables
+        # crashed the TPU worker on long-utterance B=8 corpus batches
+        # (HBM exhaustion); 16 is the safe default, PS_NGRAM_CHUNK
+        # opts into 32 when memory allows
         try:
-            CH = int(os.environ.get("PS_NGRAM_CHUNK", default_ch))
+            CH = int(os.environ.get("PS_NGRAM_CHUNK", self.CHUNK))
         except ValueError:
-            CH = default_ch
+            CH = self.CHUNK
 
         def tens3(shape, val=BIG_NEG, dtype=np.float32):
             return tuple(jnp.full(shape, val, dtype) for _ in range(NST))
