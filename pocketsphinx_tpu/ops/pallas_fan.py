@@ -207,10 +207,12 @@ def _fan_call(S, TF, CX, pred, ptf, pcx, pre, lp, tp, n_real,
             jax.ShapeDtypeStruct((B, 1, Wp), jnp.int32),
         ],
         interpret=interpret,
-        # carry planes update in place: without aliasing XLA inserts
-        # full copies of the [3, NRC, W] S/TF/CX buffers around the
-        # kernel inside the scan body (~0.35 ms/step at 20k words)
-        input_output_aliases={0: 0, 1: 1, 2: 2},
+        # NOTE: input_output_aliases={0:0, 1:1, 2:2} would save the
+        # ~0.35 ms/step of carry copies XLA inserts around the kernel,
+        # and works at B=1 — but under the batched (custom_vmap) path
+        # inside the B=8 corpus scan it reproducibly crashed the TPU
+        # worker ("kernel fault").  Left off until the Mosaic aliasing
+        # interaction is understood.
     )(Sp, TFp, CXp, predp, ptfp, pcxp, prep, lpp, tpp)
     nS, nTF, nCX, oF, eS, eTF, eCX = outs
     # with keep_padded the carry planes round-trip at the padded width
