@@ -875,11 +875,14 @@ class NgramFusedDecoder:
                 self.f0p_E[None, :].astype(np.int64) * W
                 + gw_t.astype(np.int64)).astype(np.int32)
             dev_tables["f0p_E"] = self.f0p_E.astype(np.int32)
-            # dynamic-rank refinement: with the full per-newest-word
-            # bonus table on device, exits at ranks K..K+M get their
-            # EXACT per-word bonus and the rest-floor drops from
-            # kv[K-1] to kv[K+M-1]
-            GM = int(os.environ.get("PS_GUARD_TOPM", "64"))
+            # dynamic-rank refinement (OPT-IN, PS_GUARD_TOPM=64): with
+            # the full per-newest-word bonus table on device, exits at
+            # ranks K..K+M get their EXACT per-word bonus and the
+            # rest-floor drops to kv[K+M-1].  Off by default: the
+            # +1.6 GB BMAX table and per-step [M, E] gathers pushed the
+            # B=8 long-utterance corpus decode into TPU-worker crashes
+            # for a ~1.35x unproven-count reduction (PERF_NOTES).
+            GM = int(os.environ.get("PS_GUARD_TOPM", "0"))
             bmax_budget = int(os.environ.get("PS_GUARD_BMAX_BYTES",
                                              2 << 30))
             bmax_tab = getattr(self, "_guard_bmax", None)
