@@ -639,7 +639,11 @@ class Decoder:
             return
         post = lat.posterior(lm=lm, ascale=self.config["ascale"])
         self._lattice = lat
-        self._hyp = Hypothesis(hypstr=hyp, score=int(score),
+        # lattice scores are in shifted units; the public Hypothesis
+        # carries logmath units like the first-pass score (x 1<<10,
+        # same scaling the segment ascores use below)
+        self._hyp = Hypothesis(hypstr=hyp, score=int(score) * (1 << 10),
+                               best_score=int(score) * (1 << 10),
                                prob=math.exp(min(post, 0.0)))
         scr = getattr(lat, "_best_seg_scores", None) or [(0, 0)] * len(segs)
         self._segs = [
